@@ -1,0 +1,283 @@
+"""Location-aware hybrid attention decoder — the heart of the library.
+
+Re-design of /root/reference/Attention.lua (442 LoC of nngraph clones)
+as pure functions + `lax.scan`:
+
+  - annotation projection Vh hoisted out of the decoder loop
+    (Attention.lua:40-47) -> `precompute_vh`, one big MXU matmul;
+  - state projection Ws (stock TemporalConvolution-as-matmul WITH bias,
+    Attention.lua:64-67) broadcast over L;
+  - location term UF = 1x1-zero-bias-conv(conv(pad(alpha_prev)))
+    enabled iff feature_maps > 0 (Attention.lua:73-99), with the
+    reference's odd/even padding rule (Attention.lua:77-85);
+  - energies e = w . tanh(Ws + Vh [+ UF]) via a zero-bias 1x1 conv
+    (Attention.lua:103-113) -> a matvec against `w_e`;
+  - alpha = masked softmax over encoder positions (Attention.lua:117;
+    masking is new — the reference runs one utterance at a time);
+  - optional monotonic-alignment gradient penalty (ops/monotonic.py);
+  - context c = alpha^T h (Attention.lua:129-136);
+  - decoder input Linear(2S->S)(concat(Linear(c), Linear(y_prev)))
+    (Attention.lua:149-151);
+  - recurrent core producing (s, mem) — GRU with mem passthrough
+    (model_chorowski_baseline.lua:48-51) or LSTM (timit/timit.lua:137);
+  - readout decoder_mlp(concat(s, c)) (Attention.lua:159-165), applied
+    OUTSIDE the scan over all T steps in one batched matmul stack.
+
+Teacher forcing uses prev_y = one-hot label at t-1 and a zero vector at
+t = 1 (RNNAttention.lua:144-185 `zeros_y`); initial alpha/s/mem states
+are zeros (Recurrent.lua:79-127 zero-state templates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cells, readout
+from .masking import masked_softmax
+from .monotonic import make_ramp, monotonic_alignment, monotonic_penalty_value
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    score_depth: int  # scoreDepth
+    filt_size: int  # hybridAttendFilterSize
+    feature_maps: int  # hybridAttendFeatureMaps (0 = content+state only)
+    state_depth: int
+    annotation_depth: int
+    output_depth: int
+    cell: str = "gru"  # decoder_recurrent: "gru" (mem passthrough) | "lstm"
+    peepholes: bool = False
+    mono_align: bool = True
+    penalty_lambda: float = 0.0
+    readout: Tuple[Tuple, ...] = (("maxout", 64, 7), ("linear", 62))
+
+
+def _torch_init(key, fan_in, shape, dtype):
+    bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype=jnp.float32))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def attention_init(key, cfg: AttentionConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 12)
+    p: Params = {}
+    # Vh: TemporalConvolutionZeroBias(annotationDepth, scoreDepth, 1) — no bias
+    p["v"] = _torch_init(ks[0], cfg.annotation_depth, (cfg.annotation_depth, cfg.score_depth), dtype)
+    # Ws: stock TemporalConvolution(1, scoreDepth, stateDepth) — has bias
+    p["ws"] = {
+        "w": _torch_init(ks[1], cfg.state_depth, (cfg.state_depth, cfg.score_depth), dtype),
+        "b": _torch_init(ks[1], cfg.state_depth, (cfg.score_depth,), dtype),
+    }
+    if cfg.feature_maps > 0:
+        # F: stock TemporalConvolution(1, featMaps, filtSize) — has bias
+        p["loc_conv"] = {
+            "w": _torch_init(ks[2], cfg.filt_size, (cfg.filt_size, 1, cfg.feature_maps), dtype),
+            "b": _torch_init(ks[2], cfg.filt_size, (cfg.feature_maps,), dtype),
+        }
+        # U: zero-bias 1x1 conv featMaps -> scoreDepth
+        p["u"] = _torch_init(ks[3], cfg.feature_maps, (cfg.feature_maps, cfg.score_depth), dtype)
+    # e: zero-bias 1x1 conv scoreDepth -> 1
+    p["w_e"] = _torch_init(ks[4], cfg.score_depth, (cfg.score_depth,), dtype)
+    # decoder-input projections (all stock nn.Linear, with bias)
+    p["c_in"] = readout.linear_init(ks[5], cfg.annotation_depth, cfg.state_depth, dtype=dtype)
+    p["y_in"] = readout.linear_init(ks[6], cfg.output_depth, cfg.state_depth, dtype=dtype)
+    p["dec_in"] = readout.linear_init(ks[7], 2 * cfg.state_depth, cfg.state_depth, dtype=dtype)
+    # decoder_recurrent cell
+    if cfg.cell == "gru":
+        p["cell"] = cells.gru_init(ks[8], cfg.state_depth, cfg.state_depth, dtype)
+    elif cfg.cell == "lstm":
+        p["cell"] = cells.lstm_init(ks[8], cfg.state_depth, cfg.state_depth, cfg.peepholes, dtype)
+    else:
+        raise ValueError(cfg.cell)
+    # readout MLP on concat(s, c)
+    p["readout"] = readout.stack_init(
+        ks[9], cfg.state_depth + cfg.annotation_depth, cfg.readout, dtype
+    )
+    return p
+
+
+def precompute_vh(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """Hoisted annotation projection: (B, L, A) -> (B, L, S)."""
+    return h @ params["v"]
+
+
+def location_features(params: Params, cfg: AttentionConfig, alpha_prev: jnp.ndarray) -> jnp.ndarray:
+    """UF term: conv over previous alignment. (B, L) -> (B, L, score).
+
+    Padding matches Attention.lua:77-85: odd filter pads (f-1)/2 both
+    sides; even filter pads f/2 left, f/2-1 right (producing exactly L
+    output frames).
+    """
+    f = cfg.filt_size
+    if f % 2 == 1:
+        pad = ((f - 1) // 2, (f - 1) // 2)
+    else:
+        pad = (f // 2, f // 2 - 1)
+    x = alpha_prev[:, :, None]  # (B, L, 1)
+    feat = jax.lax.conv_general_dilated(
+        x,
+        params["loc_conv"]["w"],
+        window_strides=(1,),
+        padding=[pad],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + params["loc_conv"]["b"]
+    return feat @ params["u"]  # (B, L, score)
+
+
+def attention_weights(
+    params: Params,
+    cfg: AttentionConfig,
+    s_prev: jnp.ndarray,
+    alpha_prev: jnp.ndarray,
+    vh: jnp.ndarray,
+    enc_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """One step of alignment: returns alpha (B, L)."""
+    ws = s_prev @ params["ws"]["w"] + params["ws"]["b"]  # (B, S)
+    z = vh + ws[:, None, :]
+    if cfg.feature_maps > 0:
+        z = z + location_features(params, cfg, alpha_prev)
+    e = jnp.tanh(z) @ params["w_e"]  # (B, L)
+    return masked_softmax(e, enc_mask)
+
+
+def _cell_step(params: Params, cfg: AttentionConfig, r, s, mem):
+    """decoder_recurrent: returns (s_new, mem_new).
+
+    GRU variant passes prev_mem through untouched
+    (model_chorowski_baseline.lua:48-51); LSTM treats (s, mem) = (h, c).
+    """
+    if cfg.cell == "gru":
+        return cells.gru_step(params["cell"], r, s), mem
+    return cells.lstm_step(params["cell"], r, (s, mem))
+
+
+def attention_step(
+    params: Params,
+    cfg: AttentionConfig,
+    state: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    y_prev: jnp.ndarray,
+    vh: jnp.ndarray,
+    h: jnp.ndarray,
+    enc_mask: jnp.ndarray,
+    ramp: Optional[jnp.ndarray] = None,
+) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """One full decoder step (attend -> recur). Returns new state and a
+    dict with s, c, alpha (readout applied separately, see decode fns).
+
+    state = (alpha_prev, s_prev, mem_prev); y_prev one-hot (B, V).
+    """
+    alpha_prev, s_prev, mem_prev = state
+    alpha = attention_weights(params, cfg, s_prev, alpha_prev, vh, enc_mask)
+    if cfg.mono_align and ramp is not None:
+        alpha = monotonic_alignment(alpha, alpha_prev, ramp, enc_mask)
+    c = jnp.einsum("bl,bld->bd", alpha, h)
+    r = readout.linear_apply(
+        params["dec_in"],
+        jnp.concatenate(
+            [
+                readout.linear_apply(params["c_in"], c),
+                readout.linear_apply(params["y_in"], y_prev),
+            ],
+            axis=-1,
+        ),
+    )
+    s, mem = _cell_step(params, cfg, r, s_prev, mem_prev)
+    return (alpha, s, mem), {"s": s, "c": c, "alpha": alpha}
+
+
+def init_state(
+    cfg: AttentionConfig, batch: int, enc_len: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Zero initial (alpha, s, mem) — Recurrent.lua zero-state templates."""
+    return (
+        jnp.zeros((batch, enc_len), dtype),
+        jnp.zeros((batch, cfg.state_depth), dtype),
+        jnp.zeros((batch, cfg.state_depth), dtype),
+    )
+
+
+def apply_readout(
+    params: Params,
+    cfg: AttentionConfig,
+    s: jnp.ndarray,
+    c: jnp.ndarray,
+    *,
+    dropout_rng=None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """decoder_mlp(concat(s, c)) -> log-probs. Works on any batch shape."""
+    return readout.stack_apply(
+        params["readout"],
+        cfg.readout,
+        jnp.concatenate([s, c], axis=-1),
+        dropout_rng=dropout_rng,
+        train=train,
+    )
+
+
+def decode_teacher_forced(
+    params: Params,
+    cfg: AttentionConfig,
+    h: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    labels_onehot: jnp.ndarray,
+    dec_mask: jnp.ndarray,
+    *,
+    dropout_rng=None,
+    train: bool = False,
+    unroll: int = 1,
+) -> Dict[str, jnp.ndarray]:
+    """Teacher-forced decode over all T output steps.
+
+    h: (B, L, A) encoder annotations; labels_onehot: (B, T, V);
+    dec_mask: (B, T) decoder-step validity. Returns dict with
+    logprobs (B, T, V), alpha (B, T, L), penalty (B, T).
+
+    The readout MLP runs outside the scan over the stacked (s, c) pairs
+    so its matmuls are (B*T)-batched on the MXU.
+    """
+    b, max_l = h.shape[0], h.shape[1]
+    enc_mask = (jnp.arange(max_l)[None, :] < enc_lengths[:, None]).astype(h.dtype)
+    vh = precompute_vh(params, h)
+    base_ramp = (
+        make_ramp(enc_lengths, max_l, cfg.penalty_lambda, h.dtype)
+        if (cfg.mono_align and cfg.penalty_lambda > 0.0)
+        else None
+    )
+    # prev_y sequence: zeros at t=0, labels shifted right by one
+    # (RNNAttention.lua:153-156 zeros_y, :174 y[t-1]).
+    y_prev = jnp.concatenate(
+        [jnp.zeros_like(labels_onehot[:, :1]), labels_onehot[:, :-1]], axis=1
+    )
+    state0 = init_state(cfg, b, max_l, h.dtype)
+
+    def step(state, inputs):
+        y_prev_t, step_mask_t = inputs
+        ramp = None
+        if base_ramp is not None:
+            ramp = base_ramp * step_mask_t[:, None]
+        alpha_prev = state[0]
+        new_state, out = attention_step(
+            params, cfg, state, y_prev_t, vh, h, enc_mask, ramp
+        )
+        pen = monotonic_penalty_value(out["alpha"], alpha_prev, enc_mask) * step_mask_t
+        return new_state, (out["s"], out["c"], out["alpha"], pen)
+
+    xs = (jnp.swapaxes(y_prev, 0, 1), jnp.swapaxes(dec_mask, 0, 1))
+    _, (s_seq, c_seq, alpha_seq, pen_seq) = jax.lax.scan(step, state0, xs, unroll=unroll)
+    s_seq = jnp.swapaxes(s_seq, 0, 1)  # (B, T, S)
+    c_seq = jnp.swapaxes(c_seq, 0, 1)  # (B, T, A)
+    logprobs = apply_readout(
+        params, cfg, s_seq, c_seq, dropout_rng=dropout_rng, train=train
+    )
+    return {
+        "logprobs": logprobs,
+        "alpha": jnp.swapaxes(alpha_seq, 0, 1),
+        "penalty": jnp.swapaxes(pen_seq, 0, 1),
+    }

@@ -1,0 +1,133 @@
+"""Sequence recurrence via lax.scan — the TPU replacement for the
+reference's clone-per-timestep BPTT engine (RNN.lua, Recurrent.lua).
+
+The whole clone/parameter-rebinding machinery (RNN.lua:24-62) collapses
+into `lax.scan` over the time axis with parameters closed over once;
+backprop-through-time is just `jax.grad` through the scan. Input-side
+projections are hoisted out of the scan into one large MXU matmul
+(cells.gru_input_proj / lstm_input_proj) so the sequential part does
+only the recurrent (H x nH) matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from . import cells
+from .masking import flip_sequences
+
+Params = Dict[str, Any]
+
+
+def gru_layer(
+    params: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+    reverse: bool = False,
+    h0: jnp.ndarray | None = None,
+    unroll: int = 1,
+) -> jnp.ndarray:
+    """Run a GRU over a padded batch. x: (B, L, I) -> (B, L, H).
+
+    `reverse=True` runs the scan backward over each sequence's true
+    length (reference nn.RNN(reverse) at RNN.lua:143-153): inputs are
+    flipped about `lengths`, scanned forward, and flipped back, so
+    output[t] for a reverse layer is the state after consuming
+    x[t..len-1], with padding untouched.
+    """
+    h_dim = params["w_zr"].shape[1] // 2
+    if reverse:
+        if lengths is None:
+            x = x[:, ::-1]
+        else:
+            x = flip_sequences(x, lengths)
+    xproj = cells.gru_input_proj(params, x)  # (B, L, 3H) one big matmul
+    if h0 is None:
+        h0 = jnp.zeros((x.shape[0], h_dim), x.dtype)
+
+    def step(h, xp_t):
+        h = cells.gru_step_preproj(params, xp_t, h)
+        return h, h
+
+    _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1), unroll=unroll)
+    ys = jnp.swapaxes(ys, 0, 1)  # (B, L, H)
+    if reverse:
+        if lengths is None:
+            ys = ys[:, ::-1]
+        else:
+            ys = flip_sequences(ys, lengths)
+    return ys
+
+
+def lstm_layer(
+    params: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+    reverse: bool = False,
+    unroll: int = 1,
+) -> jnp.ndarray:
+    """Run an LSTM over a padded batch. x: (B, L, I) -> (B, L, H)."""
+    h_dim = params["w_h"].shape[0]
+    if reverse:
+        if lengths is None:
+            x = x[:, ::-1]
+        else:
+            x = flip_sequences(x, lengths)
+    xproj = cells.lstm_input_proj(params, x)
+    b = x.shape[0]
+    state0 = (jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
+
+    def step(state, xp_t):
+        state = cells.lstm_step_preproj(params, xp_t, state)
+        return state, state[0]
+
+    _, ys = jax.lax.scan(step, state0, jnp.swapaxes(xproj, 0, 1), unroll=unroll)
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        if lengths is None:
+            ys = ys[:, ::-1]
+        else:
+            ys = flip_sequences(ys, lengths)
+    return ys
+
+
+def bigru_init(key, dim_in: int, dim_out: int, dtype=jnp.float32) -> Params:
+    kf, kb = jax.random.split(key)
+    return {
+        "fwd": cells.gru_init(kf, dim_in, dim_out, dtype),
+        "bwd": cells.gru_init(kb, dim_in, dim_out, dtype),
+    }
+
+
+def bigru_layer(
+    params: Params, x: jnp.ndarray, lengths: jnp.ndarray | None = None, unroll: int = 1
+) -> jnp.ndarray:
+    """Bidirectional GRU: concat(fwd, bwd) along features (B, L, 2H).
+
+    Mirrors the fRNN/bRNN + JoinTable pairs of the Chorowski encoder
+    (reference timit/model_chorowski_baseline.lua:22-34).
+    """
+    fwd = gru_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll)
+    bwd = gru_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def bilstm_init(
+    key, dim_in: int, dim_out: int, peepholes: bool = False, dtype=jnp.float32
+) -> Params:
+    kf, kb = jax.random.split(key)
+    return {
+        "fwd": cells.lstm_init(kf, dim_in, dim_out, peepholes, dtype),
+        "bwd": cells.lstm_init(kb, dim_in, dim_out, peepholes, dtype),
+    }
+
+
+def bilstm_layer(
+    params: Params, x: jnp.ndarray, lengths: jnp.ndarray | None = None, unroll: int = 1
+) -> jnp.ndarray:
+    fwd = lstm_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll)
+    bwd = lstm_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll)
+    return jnp.concatenate([fwd, bwd], axis=-1)
