@@ -1,0 +1,120 @@
+"""Length-bucketed padded batching — the capability the reference lacks.
+
+The reference trains strictly one utterance at a time with dynamic
+shapes ("since data is variable length, we do each sample individually",
+/root/reference/timit/timit.lua:239-240). On TPU, dynamic shapes force
+recompilation, so batches are padded to a small fixed set of bucket
+boundaries: each (L_pad, T_pad) pair compiles exactly once and is
+reused for every batch in that bucket.
+
+`Batch` carries everything a train/eval step needs: padded features,
+encoder lengths, padded labels (61- and 39-space), decoder mask, and
+uids for logging. One-hot label expansion (the reference's scatter
+labelmask, timit.lua:262) happens on device in the train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Batch:
+    x: np.ndarray  # (B, L_pad, D) float32
+    x_len: np.ndarray  # (B,) int32
+    y: np.ndarray  # (B, T_pad) int32, padded with 0
+    y_len: np.ndarray  # (B,) int32
+    y39: Optional[np.ndarray]  # (B, T_pad) int32 or None
+    uids: List[str]
+
+    @property
+    def dec_mask(self) -> np.ndarray:
+        t = self.y.shape[1]
+        return (np.arange(t)[None, :] < self.y_len[:, None]).astype(np.float32)
+
+
+def _round_up(n: int, boundaries: Sequence[int]) -> int:
+    for b in boundaries:
+        if n <= b:
+            return b
+    return boundaries[-1]
+
+
+def make_buckets(
+    lengths: Sequence[int], n_buckets: int = 8, multiple: int = 8
+) -> List[int]:
+    """Quantile-based bucket boundaries, rounded up to `multiple`."""
+    qs = np.quantile(np.asarray(lengths), np.linspace(0, 1, n_buckets + 1)[1:])
+    out = sorted({int(-(-q // multiple) * multiple) for q in qs})
+    return out
+
+
+@dataclasses.dataclass
+class BucketedBatcher:
+    """Groups utterances into (L-bucket) batches and pads.
+
+    Bucketing is by encoder length; the decoder axis is padded to the
+    batch's own max rounded to `t_multiple` (a second, coarser bucket
+    axis), keeping the number of distinct compiled shapes ~ n_buckets
+    x few.
+    """
+
+    l_buckets: List[int]
+    batch_size: int
+    t_multiple: int = 16
+
+    @classmethod
+    def from_dataset(cls, ds, batch_size: int, n_buckets: int = 8) -> "BucketedBatcher":
+        return cls(
+            l_buckets=make_buckets([len(x) for x in ds.x], n_buckets),
+            batch_size=batch_size,
+        )
+
+    def batches(
+        self,
+        ds,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_remainder: bool = False,
+        max_samples: Optional[int] = None,
+    ) -> Iterator[Batch]:
+        order = np.arange(len(ds))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        if max_samples:
+            order = order[:max_samples]
+        pools: dict = {}
+        for i in order:
+            lb = _round_up(len(ds.x[i]), self.l_buckets)
+            pools.setdefault(lb, []).append(i)
+            if len(pools[lb]) == self.batch_size:
+                yield self._pad(ds, pools.pop(lb), lb)
+        if not drop_remainder:
+            for lb, idxs in sorted(pools.items()):
+                yield self._pad(ds, idxs, lb)
+
+    def _pad(self, ds, idxs: List[int], l_pad: int) -> Batch:
+        b = len(idxs)
+        d = ds.x[idxs[0]].shape[-1]
+        t_max = max(len(ds.y[i]) for i in idxs)
+        t_pad = -(-t_max // self.t_multiple) * self.t_multiple
+        x = np.zeros((b, l_pad, d), np.float32)
+        y = np.zeros((b, t_pad), np.int32)
+        y39 = np.zeros((b, t_pad), np.int32) if ds.y39 is not None else None
+        x_len = np.zeros((b,), np.int32)
+        y_len = np.zeros((b,), np.int32)
+        for j, i in enumerate(idxs):
+            li, ti = len(ds.x[i]), len(ds.y[i])
+            x[j, :li] = ds.x[i][:l_pad]
+            x_len[j] = min(li, l_pad)
+            y[j, :ti] = ds.y[i]
+            y_len[j] = ti
+            if y39 is not None:
+                y39[j, :ti] = ds.y39[i]
+        return Batch(
+            x=x, x_len=x_len, y=y, y_len=y_len, y39=y39,
+            uids=[ds.uids[i] for i in idxs],
+        )

@@ -1,0 +1,293 @@
+"""Acoustic feature front end: STFT -> log-mel (+energy, deltas).
+
+Numerics follow the reference's offline extractors
+(/root/reference/timit/preprocess_timit.py:196-253 and
+librispeech/preprocess.py:116-224), which used Python-2-era librosa:
+
+  - STFT: n_fft=2048, hop=512, hann window, center=True w/ reflect pad;
+  - mel: 128 slaney-normalized filters over [0, sr/2], power=2 spectrum,
+    then the first ``nfreqs``(=40) rows are kept;
+  - logamplitude: 10*log10(max(amin, S)) with amin=1e-10, ref=1.0, then
+    clipped below max-80dB (top_db);
+  - RMS energy: sqrt(mean(|STFT|^2, freq)) per frame (old librosa rmse);
+  - delta: width-9 centered linear ramp correlation with edge padding,
+    unnormalized (old librosa lfilter delta) — note the subsequent
+    global mean/variance normalization makes the normalization constant
+    irrelevant;
+  - feature layouts: ``logmel`` -> (L, nfreqs+1 [+2x(nfreqs+1)]) = L x 123,
+    ``logmel_stacked`` -> (3, L, nfreqs) channel stack;
+  - corpus normalization: per-dim train-set mean/std, then ``pad``
+    zero frames both ends (preprocess_timit.py:261-286).
+
+Both a NumPy path (offline preprocessing, exact parity target) and a
+batched JAX path (on-device extraction; jit/pjit-able, feeds straight
+into the encoder without a host round trip) are provided; they share
+filterbank construction. The CQT variants are implemented as
+pseudo-CQT (log-spaced filterbank on the STFT) — documented deviation
+from librosa's multirate CQT.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+N_FFT = 2048
+HOP = 512
+AMIN = 1e-10
+TOP_DB = 80.0
+
+
+# ---------------------------------------------------------------------------
+# Filterbanks (NumPy; built once, constants under jit)
+# ---------------------------------------------------------------------------
+
+
+def hz_to_mel(f):
+    """Slaney mel scale (librosa htk=False default)."""
+    f = np.asanyarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mel = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mel)
+
+
+def mel_to_hz(m):
+    m = np.asanyarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(sr: int, n_fft: int = N_FFT, n_mels: int = 128) -> np.ndarray:
+    """(n_mels, 1 + n_fft//2) slaney-normalized triangular filters."""
+    fmax = sr / 2.0
+    fft_freqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(fmax), n_mels + 2))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_pts[2 : n_mels + 2] - mel_pts[:n_mels])
+    return (weights * enorm[:, None]).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=8)
+def pseudo_cqt_filterbank(
+    sr: int, n_fft: int = N_FFT, n_bins: int = 84, fmin: Optional[float] = None, bins_per_octave: int = 12
+) -> np.ndarray:
+    """Log-spaced triangular filterbank approximating CQT bin centers.
+
+    Documented deviation: librosa.cqt is a multirate filterbank; this
+    projects the STFT onto geometrically spaced triangles (pseudo-CQT).
+    """
+    fmin = fmin or 32.703195662574829  # C1, librosa default
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    edges = fmin * 2.0 ** ((np.arange(n_bins + 2) - 1) / bins_per_octave)
+    fft_freqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    ramps = edges[:, None] - fft_freqs[None, :]
+    fdiff = np.diff(edges)
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    return weights.astype(np.float64), freqs
+
+
+# ---------------------------------------------------------------------------
+# NumPy offline path (preprocessing parity)
+# ---------------------------------------------------------------------------
+
+
+def stft_np(y: np.ndarray, n_fft: int = N_FFT, hop: int = HOP) -> np.ndarray:
+    """Centered STFT -> (1 + n_fft//2, n_frames) complex."""
+    pad = n_fft // 2
+    y = np.pad(y, pad, mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    window = np.hanning(n_fft + 1)[:-1]  # periodic hann (scipy/librosa)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = y[idx] * window[None, :]
+    return np.fft.rfft(frames, n=n_fft, axis=1).T
+
+
+def power_to_db(S: np.ndarray, amin: float = AMIN, top_db: float = TOP_DB) -> np.ndarray:
+    """librosa.core.logamplitude with ref=1.0."""
+    log_spec = 10.0 * np.log10(np.maximum(amin, S))
+    if top_db is not None:
+        log_spec = np.maximum(log_spec, log_spec.max() - top_db)
+    return log_spec
+
+
+def delta_np(data: np.ndarray, width: int = 9, order: int = 1, axis: int = -1) -> np.ndarray:
+    """Old-librosa delta: centered ramp correlation, edge pad, unnormalized.
+
+    delta[i] = sum_{k=1..h} k * (x[i+k] - x[i-k]), h = width//2.
+    order=2 applies it twice.
+    """
+    half = width // 2
+    kernel = np.arange(-half, half + 1, dtype=np.float64)
+    out = data.astype(np.float64)
+    for _ in range(order):
+        pad = [(0, 0)] * out.ndim
+        pad[axis] = (half, half)
+        padded = np.pad(out, pad, mode="edge")
+        # np.correlate(a, v)[i] = sum_n a[i+n] v[n]; with v[n] = n - half
+        # this is delta[i] = sum_m m * x[i+m].
+        out = np.apply_along_axis(
+            lambda m: np.correlate(m, kernel, mode="valid"), axis, padded
+        )
+    return out
+
+
+def rms_energy_np(S_power: np.ndarray) -> np.ndarray:
+    """Per-frame RMS from the power spectrogram (old librosa rmse)."""
+    return np.sqrt(np.mean(S_power, axis=0))
+
+
+def logmel_np(
+    y: np.ndarray,
+    sr: int,
+    n_fft: int = N_FFT,
+    hop: int = HOP,
+    nfreqs: int = 40,
+    n_mels: int = 128,
+) -> np.ndarray:
+    """(L, 3*(nfreqs+1)) = logmel+energy with delta and delta-delta.
+
+    Parity target: preprocess_timit.py:196-209 (nfreqs=40 -> 123 dims).
+    """
+    S = np.abs(stft_np(y, n_fft, hop)) ** 2
+    mel = mel_filterbank(sr, n_fft, n_mels) @ S
+    lm = power_to_db(mel)[:nfreqs]
+    energy = rms_energy_np(S)[None, :]
+    spectr = np.vstack([lm, energy])
+    d1 = delta_np(spectr, order=1)
+    d2 = delta_np(spectr, order=2)
+    return np.vstack([spectr, d1, d2]).T
+
+
+def logmel_stacked_np(
+    y: np.ndarray, sr: int, n_fft: int = N_FFT, hop: int = HOP, nfreqs: int = 40, n_mels: int = 128
+) -> np.ndarray:
+    """(3, L, nfreqs) channel-stacked logmel/delta/delta-delta
+    (preprocess_timit.py:211-225) — input for the VGG encoder."""
+    S = np.abs(stft_np(y, n_fft, hop)) ** 2
+    mel = mel_filterbank(sr, n_fft, n_mels) @ S
+    lm = power_to_db(mel)[:nfreqs]
+    d1 = delta_np(lm, order=1)
+    d2 = delta_np(lm, order=2)
+    return np.stack([lm.T, d1.T, d2.T], axis=0)
+
+
+def cqt_np(
+    y: np.ndarray, sr: int, n_bins: int = 84, hop: int = HOP, nfreqs: Optional[int] = None
+) -> np.ndarray:
+    """Pseudo-CQT variant of preprocess_timit.py:228-240: (L, 3*nb+1)."""
+    S = np.abs(stft_np(y, N_FFT, hop)) ** 2
+    fb, _ = pseudo_cqt_filterbank(sr, N_FFT, n_bins)
+    cqt = np.sqrt(fb @ S)
+    if nfreqs is not None:
+        cqt = cqt[:nfreqs]
+    d1 = delta_np(cqt, order=1)
+    d2 = delta_np(cqt, order=2)
+    energy = rms_energy_np(S)[None, :]
+    return np.vstack([cqt, d1, d2, energy]).T
+
+
+def normalize_corpus(train_feats, *other_splits, pad: int = 10):
+    """Train-set mean/std normalization + zero padding both ends.
+
+    train_feats / splits are lists of (L_i, D) arrays (or (3, L_i, D)
+    stacked). Mutates nothing; returns (normalized splits..., mean, std).
+    Parity: preprocess_timit.py:261-314.
+    """
+    stacked = train_feats[0].ndim == 3
+    axis = 1 if stacked else 0
+    cat = np.concatenate(train_feats, axis=axis)
+    mean = cat.mean(axis=axis, keepdims=True)
+    std = cat.std(axis=axis, keepdims=True)
+
+    def norm(split):
+        out = []
+        for f in split:
+            g = (f - mean) / std
+            if stacked:
+                z = np.zeros((f.shape[0], pad, f.shape[2]))
+                g = np.concatenate([z, g, z], axis=1)
+            else:
+                z = np.zeros((pad, f.shape[1]))
+                g = np.vstack([z, g, z])
+            out.append(g)
+        return out
+
+    results = [norm(train_feats)] + [norm(s) for s in other_splits]
+    return (*results, mean, std)
+
+
+# ---------------------------------------------------------------------------
+# JAX on-device batched path
+# ---------------------------------------------------------------------------
+
+
+def logmel_jax(
+    y,
+    sr: int = 16000,
+    n_fft: int = N_FFT,
+    hop: int = HOP,
+    nfreqs: int = 40,
+    n_mels: int = 128,
+    mean=None,
+    std=None,
+):
+    """Batched on-device log-mel front end. y: (B, N) padded PCM ->
+    (B, L, 3*(nfreqs+1)) float32 features.
+
+    jit-able; frames via gather + one rfft + one MXU matmul against the
+    mel filterbank. Per-utterance top_db clipping uses each sample's own
+    max like the offline path. Optionally applies corpus (mean, std).
+    """
+    import jax.numpy as jnp
+
+    pad = n_fft // 2
+    yp = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (yp.shape[1] - n_fft) // hop
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = yp[:, idx] * window  # (B, L, n_fft)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    S = jnp.abs(spec) ** 2  # (B, L, F)
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels).T, jnp.float32)
+    mel = S @ fb  # (B, L, n_mels)
+    lm = 10.0 * jnp.log10(jnp.maximum(AMIN, mel))
+    peak = jnp.max(lm, axis=(1, 2), keepdims=True)
+    lm = jnp.maximum(lm, peak - TOP_DB)[..., :nfreqs]
+    energy = jnp.sqrt(jnp.mean(S, axis=-1, keepdims=True))
+    spectr = jnp.concatenate([lm, energy], axis=-1)  # (B, L, nf+1)
+
+    half = 4
+    kernel = jnp.asarray(np.arange(-half, half + 1, dtype=np.float32))
+
+    def delta(x):
+        xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
+        idxs = np.arange(x.shape[1])[:, None] + np.arange(2 * half + 1)[None, :]
+        return jnp.einsum("blkd,k->bld", xp[:, idxs], kernel)
+
+    d1 = delta(spectr)
+    d2 = delta(d1)
+    feats = jnp.concatenate([spectr, d1, d2], axis=-1)
+    if mean is not None:
+        feats = (feats - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return feats
+
+
+def frames_for_samples(n_samples: int, n_fft: int = N_FFT, hop: int = HOP) -> int:
+    """Number of centered-STFT frames for an n_samples signal."""
+    return 1 + n_samples // hop

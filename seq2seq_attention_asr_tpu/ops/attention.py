@@ -43,6 +43,27 @@ from .monotonic import make_ramp, monotonic_alignment, monotonic_penalty_value
 Params = Dict[str, Any]
 
 
+def _halo_exchange(x: jnp.ndarray, left: int, right: int, axis_name: str) -> jnp.ndarray:
+    """Concat [left-halo | x | right-halo] along the last axis, where the
+    halos come from the neighboring sequence shards via `ppermute`
+    (zeros at the chain ends — matching the zero padding the unsharded
+    conv uses at the sequence boundary)."""
+    n = jax.lax.axis_size(axis_name)
+    parts = []
+    if left > 0:
+        from_left = jax.lax.ppermute(
+            x[..., -left:], axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        parts.append(from_left)
+    parts.append(x)
+    if right > 0:
+        from_right = jax.lax.ppermute(
+            x[..., :right], axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+        parts.append(from_right)
+    return jnp.concatenate(parts, axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class AttentionConfig:
     score_depth: int  # scoreDepth
@@ -106,24 +127,36 @@ def precompute_vh(params: Params, h: jnp.ndarray) -> jnp.ndarray:
     return h @ params["v"]
 
 
-def location_features(params: Params, cfg: AttentionConfig, alpha_prev: jnp.ndarray) -> jnp.ndarray:
+def location_features(
+    params: Params,
+    cfg: AttentionConfig,
+    alpha_prev: jnp.ndarray,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
     """UF term: conv over previous alignment. (B, L) -> (B, L, score).
 
     Padding matches Attention.lua:77-85: odd filter pads (f-1)/2 both
     sides; even filter pads f/2 left, f/2-1 right (producing exactly L
-    output frames).
+    output frames). Under sequence sharding (`axis_name`) the filter
+    support crossing shard boundaries is satisfied by a ppermute halo
+    exchange instead of zero padding.
     """
     f = cfg.filt_size
     if f % 2 == 1:
         pad = ((f - 1) // 2, (f - 1) // 2)
     else:
         pad = (f // 2, f // 2 - 1)
-    x = alpha_prev[:, :, None]  # (B, L, 1)
+    if axis_name is None:
+        x = alpha_prev[:, :, None]  # (B, L, 1)
+        padding = [pad]
+    else:
+        x = _halo_exchange(alpha_prev, pad[0], pad[1], axis_name)[:, :, None]
+        padding = [(0, 0)]
     feat = jax.lax.conv_general_dilated(
         x,
         params["loc_conv"]["w"],
         window_strides=(1,),
-        padding=[pad],
+        padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"),
     ) + params["loc_conv"]["b"]
     return feat @ params["u"]  # (B, L, score)
@@ -136,14 +169,15 @@ def attention_weights(
     alpha_prev: jnp.ndarray,
     vh: jnp.ndarray,
     enc_mask: jnp.ndarray,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
-    """One step of alignment: returns alpha (B, L)."""
+    """One step of alignment: returns alpha (B, L[/shards])."""
     ws = s_prev @ params["ws"]["w"] + params["ws"]["b"]  # (B, S)
     z = vh + ws[:, None, :]
     if cfg.feature_maps > 0:
-        z = z + location_features(params, cfg, alpha_prev)
+        z = z + location_features(params, cfg, alpha_prev, axis_name)
     e = jnp.tanh(z) @ params["w_e"]  # (B, L)
-    return masked_softmax(e, enc_mask)
+    return masked_softmax(e, enc_mask, axis_name=axis_name)
 
 
 def _cell_step(params: Params, cfg: AttentionConfig, r, s, mem):
@@ -166,17 +200,33 @@ def attention_step(
     h: jnp.ndarray,
     enc_mask: jnp.ndarray,
     ramp: Optional[jnp.ndarray] = None,
+    unit_ramp: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """One full decoder step (attend -> recur). Returns new state and a
-    dict with s, c, alpha (readout applied separately, see decode fns).
+    dict with s, c, alpha, penalty (readout applied separately, see
+    decode fns).
 
     state = (alpha_prev, s_prev, mem_prev); y_prev one-hot (B, V).
+    ramp: lambda-scaled gradient-injection ramp (None disables the
+    monotonic penalty); unit_ramp: lambda-free ramp for the penalty
+    value (defaults to computing from ramp being None -> zeros).
+    Under sequence sharding (`axis_name`), h/vh/enc_mask/alpha/ramps are
+    sharded over encoder positions; s/c/mem stay replicated.
     """
     alpha_prev, s_prev, mem_prev = state
-    alpha = attention_weights(params, cfg, s_prev, alpha_prev, vh, enc_mask)
+    alpha = attention_weights(
+        params, cfg, s_prev, alpha_prev, vh, enc_mask, axis_name
+    )
+    if unit_ramp is not None:
+        penalty = monotonic_penalty_value(alpha, alpha_prev, unit_ramp, axis_name)
+    else:
+        penalty = jnp.zeros(alpha.shape[0], alpha.dtype)
     if cfg.mono_align and ramp is not None:
-        alpha = monotonic_alignment(alpha, alpha_prev, ramp, enc_mask)
+        alpha = monotonic_alignment(alpha, alpha_prev, ramp, penalty)
     c = jnp.einsum("bl,bld->bd", alpha, h)
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
     r = readout.linear_apply(
         params["dec_in"],
         jnp.concatenate(
@@ -188,7 +238,12 @@ def attention_step(
         ),
     )
     s, mem = _cell_step(params, cfg, r, s_prev, mem_prev)
-    return (alpha, s, mem), {"s": s, "c": c, "alpha": alpha}
+    # reported penalty is lambda-scaled like the reference scalar
+    # (MonotonicAlignment.lua:27-39); `active` for injection uses the
+    # unscaled value (same sign).
+    return (alpha, s, mem), {
+        "s": s, "c": c, "alpha": alpha, "penalty": cfg.penalty_lambda * penalty,
+    }
 
 
 def init_state(
@@ -232,6 +287,7 @@ def decode_teacher_forced(
     dropout_rng=None,
     train: bool = False,
     unroll: int = 1,
+    axis_name: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Teacher-forced decode over all T output steps.
 
@@ -241,32 +297,43 @@ def decode_teacher_forced(
 
     The readout MLP runs outside the scan over the stacked (s, c) pairs
     so its matmuls are (B*T)-batched on the MXU.
+
+    Under sequence sharding (`axis_name` inside shard_map), h is the
+    LOCAL (B, L/n, A) shard and enc_lengths/positions are global; pass
+    `pos_offset` semantics via enc_mask construction here: the local
+    shard's global positions are inferred from the axis index.
     """
-    b, max_l = h.shape[0], h.shape[1]
-    enc_mask = (jnp.arange(max_l)[None, :] < enc_lengths[:, None]).astype(h.dtype)
+    b, loc_l = h.shape[0], h.shape[1]
+    if axis_name is None:
+        pos = jnp.arange(loc_l)
+    else:
+        pos = loc_l * jax.lax.axis_index(axis_name) + jnp.arange(loc_l)
+    enc_mask = (pos[None, :] < enc_lengths[:, None]).astype(h.dtype)
     vh = precompute_vh(params, h)
-    base_ramp = (
-        make_ramp(enc_lengths, max_l, cfg.penalty_lambda, h.dtype)
-        if (cfg.mono_align and cfg.penalty_lambda > 0.0)
-        else None
-    )
+    use_penalty = cfg.mono_align and cfg.penalty_lambda > 0.0
+    if use_penalty:
+        lens = enc_lengths.astype(h.dtype)[:, None]
+        unit_ramp = jnp.maximum(lens - pos[None, :].astype(h.dtype), 0.0)
+        base_ramp = cfg.penalty_lambda * unit_ramp
+    else:
+        unit_ramp = base_ramp = None
     # prev_y sequence: zeros at t=0, labels shifted right by one
     # (RNNAttention.lua:153-156 zeros_y, :174 y[t-1]).
     y_prev = jnp.concatenate(
         [jnp.zeros_like(labels_onehot[:, :1]), labels_onehot[:, :-1]], axis=1
     )
-    state0 = init_state(cfg, b, max_l, h.dtype)
+    state0 = init_state(cfg, b, loc_l, h.dtype)
 
     def step(state, inputs):
         y_prev_t, step_mask_t = inputs
         ramp = None
         if base_ramp is not None:
             ramp = base_ramp * step_mask_t[:, None]
-        alpha_prev = state[0]
         new_state, out = attention_step(
-            params, cfg, state, y_prev_t, vh, h, enc_mask, ramp
+            params, cfg, state, y_prev_t, vh, h, enc_mask,
+            ramp=ramp, unit_ramp=unit_ramp, axis_name=axis_name,
         )
-        pen = monotonic_penalty_value(out["alpha"], alpha_prev, enc_mask) * step_mask_t
+        pen = out["penalty"] * step_mask_t
         return new_state, (out["s"], out["c"], out["alpha"], pen)
 
     xs = (jnp.swapaxes(y_prev, 0, 1), jnp.swapaxes(dec_mask, 0, 1))

@@ -41,9 +41,23 @@ def flip_sequences(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def masked_softmax(e: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    """Softmax over `axis` with positions where mask==0 forced to 0 prob."""
+def masked_softmax(
+    e: jnp.ndarray, mask: jnp.ndarray, axis: int = -1, axis_name: str | None = None
+) -> jnp.ndarray:
+    """Softmax over `axis` with positions where mask==0 forced to 0 prob.
+
+    With `axis_name`, `axis` is additionally sharded across that mesh
+    axis (sequence sharding): the max and normalizer become cross-shard
+    collectives (the log-sum-exp-across-chips pattern), and the
+    returned probabilities stay sharded.
+    """
     e = jnp.where(mask > 0, e, NEG_INF)
-    e = e - jax.lax.stop_gradient(jnp.max(e, axis=axis, keepdims=True))
+    m = jnp.max(e, axis=axis, keepdims=True)
+    if axis_name is not None:
+        m = jax.lax.pmax(m, axis_name)
+    e = e - jax.lax.stop_gradient(m)
     w = jnp.exp(e) * (mask > 0)
-    return w / jnp.maximum(jnp.sum(w, axis=axis, keepdims=True), 1e-30)
+    z = jnp.sum(w, axis=axis, keepdims=True)
+    if axis_name is not None:
+        z = jax.lax.psum(z, axis_name)
+    return w / jnp.maximum(z, 1e-30)

@@ -6,62 +6,81 @@ through unchanged while computing a scalar penalty per sample
     p = lambda * max(0, sum_i (cumsum(alpha)_i - cumsum(alpha_prev)_i))
 
 (MonotonicAlignment.lua:27-39). The penalty is NEVER added to the
-reported loss; it only shapes gradients (see SURVEY.md §2.1): wherever
+reported loss; it only shapes gradients (SURVEY.md §2.1): wherever
 p > 0 the backward pass injects a linear ramp lambda*(L+1-i) into
 d(alpha) and its negation into d(alpha_prev)
 (MonotonicAlignment.lua:49-75). Implemented as a `jax.custom_vjp`.
 
-Batched/padded extension (new capability): the ramp uses each sample's
-true encoder length and is zeroed at padded encoder positions and at
-padded decoder steps, so padding cannot leak gradient.
+TPU-first re-derivation: with a prefix length mask (1 for i < len),
+
+    sum_{i<len} cumsum(x)_i = sum_j x_j * max(len - j, 0)
+
+so the penalty is a single masked weighted sum against the SAME ramp
+used for gradient injection — no cumsum, and under sequence sharding
+(encoder positions split across chips) it reduces with one `psum`
+instead of a cross-chip scan. The ramp uses each sample's true length
+and is zero at padded positions/steps, so padding cannot leak gradient.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
-def monotonic_penalty_value(
-    alpha: jnp.ndarray, prev_alpha: jnp.ndarray, enc_mask: jnp.ndarray
-) -> jnp.ndarray:
-    """Per-sample unscaled penalty max(0, sum_i cumsum-diff). (B,L)->(B,)."""
-    d = jnp.cumsum(alpha, axis=-1) - jnp.cumsum(prev_alpha, axis=-1)
-    return jnp.maximum(jnp.sum(d * enc_mask, axis=-1), 0.0)
-
-
 def make_ramp(lengths: jnp.ndarray, max_len: int, lam, dtype=jnp.float32) -> jnp.ndarray:
-    """lambda * (L+1-i) ramp per sample, zero beyond the true length.
+    """lambda * (len - i) ramp per sample (0-indexed i), zero beyond len.
 
-    With 0-indexed position i the reference's 1-indexed (L+1-i) ramp
-    (MonotonicAlignment.lua:57) becomes (len - i) for i < len.
+    Equals the reference's 1-indexed lambda*(L+1-i) ramp
+    (MonotonicAlignment.lua:57).
     """
     pos = jnp.arange(max_len, dtype=dtype)[None, :]
     ramp = lengths.astype(dtype)[:, None] - pos
-    return lam * jnp.where(pos < lengths[:, None], ramp, 0.0)
+    return lam * jnp.maximum(ramp, 0.0)
+
+
+def monotonic_penalty_value(
+    alpha: jnp.ndarray,
+    prev_alpha: jnp.ndarray,
+    unit_ramp: jnp.ndarray,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Per-sample unscaled penalty, weighted-sum form. (B, L) -> (B,).
+
+    unit_ramp: `make_ramp(lengths, L, 1.0)` (lambda excluded). Under
+    `shard_map` over encoder positions pass `axis_name` to reduce the
+    partial sums across shards.
+    """
+    s = jnp.sum(unit_ramp * (alpha - prev_alpha), axis=-1)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return jnp.maximum(s, 0.0)
 
 
 @jax.custom_vjp
 def monotonic_alignment(
-    alpha: jnp.ndarray, prev_alpha: jnp.ndarray, ramp: jnp.ndarray, enc_mask: jnp.ndarray
+    alpha: jnp.ndarray, prev_alpha: jnp.ndarray, ramp: jnp.ndarray, active: jnp.ndarray
 ) -> jnp.ndarray:
-    """Identity on alpha; injects the ramp gradient in the VJP.
+    """Identity on alpha; the VJP injects +/-ramp where `active`.
 
-    ramp: precomputed via `make_ramp`, optionally pre-multiplied by a
-    per-sample decoder-step validity mask (B, 1)-broadcastable.
+    ramp: `make_ramp(lengths, L, lam)`, optionally pre-multiplied by a
+    decoder-step validity mask. active: (B,) float penalty value
+    (injection fires where it is > 0) — computed by the caller,
+    shard-aware, via monotonic_penalty_value.
     """
     return alpha
 
 
-def _mono_fwd(alpha, prev_alpha, ramp, enc_mask):
-    penalty = monotonic_penalty_value(alpha, prev_alpha, enc_mask)
-    return alpha, (penalty > 0.0, ramp)
+def _mono_fwd(alpha, prev_alpha, ramp, active):
+    return alpha, (active, ramp)
 
 
 def _mono_bwd(res, g):
     active, ramp = res
-    inject = jnp.where(active[:, None], ramp, 0.0)
-    return g + inject, -inject, jnp.zeros_like(ramp), jnp.zeros_like(ramp)
+    inject = jnp.where(active[:, None] > 0.0, ramp, 0.0)
+    return g + inject, -inject, jnp.zeros_like(ramp), jnp.zeros_like(active)
 
 
 monotonic_alignment.defvjp(_mono_fwd, _mono_bwd)

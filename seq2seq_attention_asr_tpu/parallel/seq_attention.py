@@ -1,0 +1,76 @@
+"""Sequence-sharded attention decoding — encoder states split over chips.
+
+New capability scoped by BASELINE.json (SURVEY.md §2.6(c)): when the
+utterance length L exceeds one chip's appetite, the encoder annotations
+h (B, L, A) are sharded over the mesh's "sp" axis and the decoder's
+attention runs under `shard_map` with the collectives inserted in
+ops/attention.py:
+
+  - energies e are computed on local position shards;
+  - the softmax normalizer is a cross-shard log-sum-exp
+    (`pmax` + `psum`, ops/masking.py:masked_softmax);
+  - the location conv over the previous alignment exchanges
+    filter-support halos with neighbor shards via `ppermute`
+    (ops/attention.py:_halo_exchange);
+  - the context c = alpha^T h and the monotonic penalty are local
+    partial sums reduced with `psum`;
+  - decoder state (s, mem) and outputs stay replicated across "sp".
+
+The wrapper composes with data parallelism: specs below carry both
+axes, so h is P("dp", "sp", None) while labels are P("dp").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import attention
+from .mesh import DATA_AXIS, SEQ_AXIS
+
+
+def sharded_decode_teacher_forced(
+    mesh: Mesh,
+    params,
+    cfg: attention.AttentionConfig,
+    h: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    labels_onehot: jnp.ndarray,
+    dec_mask: jnp.ndarray,
+    *,
+    unroll: int = 1,
+) -> Dict[str, jnp.ndarray]:
+    """Teacher-forced decode with h sharded (B/dp, L/sp, A).
+
+    Padded L must divide the sp axis size. Returns the same dict as
+    attention.decode_teacher_forced; `alpha` comes back sharded over
+    positions, logprobs/penalty replicated over sp.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),  # params replicated
+            P(DATA_AXIS, SEQ_AXIS, None),  # h
+            P(DATA_AXIS),  # enc_lengths
+            P(DATA_AXIS, None, None),  # labels_onehot
+            P(DATA_AXIS, None),  # dec_mask
+        ),
+        out_specs={
+            "logprobs": P(DATA_AXIS, None, None),
+            "alpha": P(DATA_AXIS, None, SEQ_AXIS),
+            "penalty": P(DATA_AXIS, None),
+        },
+    )
+    def run(p, h_loc, lens, onehot, dmask):
+        return attention.decode_teacher_forced(
+            p, cfg, h_loc, lens, onehot, dmask,
+            unroll=unroll, axis_name=SEQ_AXIS,
+        )
+
+    return run(params, h, enc_lengths, labels_onehot, dec_mask)

@@ -1,0 +1,69 @@
+"""Checkpoint / resume: params + optimizer state + rng + step counters.
+
+Reference behavior (timit/timit.lua:551-562): every epoch `torch.save`s
+the whole model table (network + optimConfig/optimState + opt) to
+model.t7 plus best-valid-accuracy / best-valid-PER copies, and resume
+re-reads log.h5 to restore best-metric counters (timit.lua:469-490).
+
+Here the train state is a pytree saved with Orbax (sharded-array-aware,
+works under pjit meshes) with a plain-pickle fallback; best-metric
+bookkeeping lives in the JSONL metric log (trainer.MetricLog), not a
+separate HDF5.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def save(path: str, state: Any) -> None:
+    """Atomic save of a train-state pytree."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    try:
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        ckpt.save(os.path.abspath(tmp), _to_host(state))
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+    except Exception:
+        with open(tmp + ".pkl", "wb") as f:
+            pickle.dump(_to_host(state), f)
+        os.replace(tmp + ".pkl", path + ".pkl")
+
+
+def load(path: str, like: Optional[Any] = None) -> Any:
+    """Load a checkpoint saved by `save`. `like` restores exact pytree
+    structure/dtypes when using orbax."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        if like is not None:
+            return ckpt.restore(
+                os.path.abspath(path), item=_to_host(like)
+            )
+        return ckpt.restore(os.path.abspath(path))
+    with open(path + ".pkl" if not path.endswith(".pkl") else path, "rb") as f:
+        return pickle.load(f)
+
+
+def exists(path: str) -> bool:
+    return os.path.isdir(path) or os.path.exists(path + ".pkl")

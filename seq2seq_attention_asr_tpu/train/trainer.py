@@ -1,0 +1,457 @@
+"""Training/eval driver — the framework API the reference keeps as
+script globals (/root/reference/timit/timit.lua `Train`/`Evaluate`,
+librispeech/train.lua).
+
+Differences by design (SURVEY.md §7): batched padded execution instead
+of per-utterance dynamic shapes; one jitted train step instead of an
+optimfunc closure over a flat parameter vector; the AWN/weight-noise
+sampling lives INSIDE the jitted step with explicit PRNG keys
+(reference resamples into the flat vector on host, timit.lua:248-253);
+beam-search eval is batched on device.
+
+`opt`-table parity map (timit.lua:17-37):
+  batchSize -> TrainConfig.batch_size (the reference iterates samples
+    individually even for batchSize>1, timit.lua:239-240 — here batches
+    really batch), normalizeNLL -> normalize_nll, normalizeGrad ->
+    normalize_grad, maxnorm/weightDecay/gradnoise_* -> OptimConfig,
+    colnormconstr/maxcolnorm -> OptimConfig.colnorm*, adaweightnoise /
+    weightnoise -> noise, K -> beam_k, maxnumsamples -> max_samples,
+    numEpochs -> num_epochs, predict/save -> Trainer.fit(log_dir).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..decode import beam as beam_lib
+from ..decode import metrics as metrics_lib
+from . import awn as awn_lib
+from . import optim as optim_lib
+from .loss import masked_nll, token_accuracy
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_epochs: int = 100
+    batch_size: int = 16
+    normalize_nll: bool = False  # opt.normalizeNLL
+    normalize_grad: bool = False  # opt.normalizeGrad (grad /= T)
+    noise: str = "none"  # "none" | "awn" | "weight" (opt.adaweightnoise / weightnoise)
+    awn_lambda: float = 1.0
+    awn_sigma_init: float = 0.075
+    weight_noise_sigma: float = 0.0
+    beam_k: int = 5  # opt.K
+    max_samples: Optional[int] = None  # opt.maxnumsamples
+    eval_len_factor: float = 1.0  # beam maxseqlen = factor * L (2.0 for librispeech)
+    seed: int = 1
+
+
+def _one_hot_labels(y, dec_mask, v):
+    """labelmask scatter (timit.lua:262): one-hot zeroed at padded steps."""
+    return jax.nn.one_hot(y, v, dtype=dec_mask.dtype) * dec_mask[..., None]
+
+
+def make_train_step(
+    forward_fn: Callable[..., Dict[str, jnp.ndarray]],
+    tx: optax.GradientTransformation,
+    ocfg: optim_lib.OptimConfig,
+    tcfg: TrainConfig,
+    output_depth: int,
+):
+    """Returns (init_fn, step_fn).
+
+    forward_fn(params, x, x_len, labels_onehot, dec_mask, dropout_rng,
+    train) -> dict(logprobs, alpha, penalty).
+
+    step_fn(state, batch) -> (state, metrics); state = (train_params,
+    opt_state, rng) where train_params is the model pytree, or an
+    AWNState when tcfg.noise == "awn". batch = (x, x_len, y, dec_mask).
+    Loss is the batch MEAN of per-utterance NLL (reference averages
+    accumulated per-sample grads, timit.lua:292-295), with
+    normalize_nll dividing each utterance by its own T first.
+    """
+    use_awn = tcfg.noise == "awn"
+    use_wn = tcfg.noise == "weight"
+
+    def init_fn(params: Params, rng: jax.Array):
+        train_params = (
+            awn_lib.init(params, tcfg.awn_sigma_init) if use_awn else params
+        )
+        return (train_params, tx.init(train_params), rng)
+
+    def _loss(model_params, x, x_len, onehot, dec_mask, dropout_rng):
+        out = forward_fn(
+            model_params, x, x_len, onehot, dec_mask,
+            dropout_rng=dropout_rng, train=True,
+        )
+        per_step = -jnp.sum(onehot * out["logprobs"], axis=-1) * dec_mask
+        per_utt = jnp.sum(per_step, axis=-1)
+        lens = jnp.maximum(jnp.sum(dec_mask, axis=-1), 1.0)
+        if tcfg.normalize_nll:
+            per_utt = per_utt / lens
+        loss = jnp.mean(per_utt)
+        return loss, out
+
+    def step_fn(state, batch):
+        train_params, opt_state, rng = state
+        x, x_len, y, dec_mask = batch
+        rng, noise_rng, dropout_rng = jax.random.split(rng, 3)
+        onehot = _one_hot_labels(y, dec_mask, output_depth)
+
+        if use_awn:
+            w = awn_lib.sample(noise_rng, train_params)
+            (loss, out), grads_w = jax.value_and_grad(_loss, has_aux=True)(
+                w, x, x_len, onehot, dec_mask, dropout_rng
+            )
+            n_batch = jnp.asarray(x.shape[0], jnp.float32)
+            grads = awn_lib.grads(
+                train_params, grads_w, tcfg.awn_lambda / jnp.maximum(n_batch, 1.0)
+            )
+            # reported objective: mean NLL + lambda*KL (AWN:updateOutput)
+            loss_report = loss + tcfg.awn_lambda * awn_lib.kl(train_params)
+        else:
+            model_params = train_params
+            if use_wn:
+                model_params = awn_lib.weight_noise_sample(
+                    noise_rng, train_params, tcfg.weight_noise_sigma
+                )
+            (loss, out), grads = jax.value_and_grad(_loss, has_aux=True)(
+                model_params, x, x_len, onehot, dec_mask, dropout_rng
+            )
+            loss_report = loss
+
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, train_params)
+        train_params = optax.apply_updates(train_params, updates)
+        if ocfg.colnorm:
+            if use_awn:
+                train_params = awn_lib.AWNState(
+                    mu=optim_lib.colnorm_project(train_params.mu, ocfg.colnorm_maxval),
+                    s=train_params.s,
+                )
+            else:
+                train_params = optim_lib.colnorm_project(
+                    train_params, ocfg.colnorm_maxval
+                )
+
+        correct, total = token_accuracy(out["logprobs"], y, dec_mask)
+        pnorm = optax.global_norm(
+            train_params.mu if use_awn else train_params
+        )
+        metrics = {
+            "loss": loss_report,
+            "nll": loss,
+            "grad_norm": gnorm,
+            "param_norm": pnorm,
+            "correct": correct,
+            "total": total,
+            "penalty": jnp.sum(out["penalty"]),
+        }
+        return (train_params, opt_state, rng), metrics
+
+    return init_fn, step_fn
+
+
+def eval_params(tcfg: TrainConfig, train_params):
+    """Weights used for evaluation: AWN mode() = mu, else the params
+    themselves (timit.lua:375-379)."""
+    return train_params.mu if tcfg.noise == "awn" else train_params
+
+
+def make_eval_step(
+    forward_fn: Callable[..., Dict[str, jnp.ndarray]], output_depth: int
+):
+    """Teacher-forced eval: summed NLL + accuracy counts (timit.lua:384-394)."""
+
+    def eval_fn(params, batch):
+        x, x_len, y, dec_mask = batch
+        onehot = _one_hot_labels(y, dec_mask, output_depth)
+        out = forward_fn(
+            params, x, x_len, onehot, dec_mask, dropout_rng=None, train=False
+        )
+        per_step = -jnp.sum(onehot * out["logprobs"], axis=-1) * dec_mask
+        nll = jnp.sum(per_step)
+        correct, total = token_accuracy(out["logprobs"], y, dec_mask)
+        return {
+            "nll": nll,
+            "correct": correct,
+            "total": total,
+            "n": jnp.asarray(x.shape[0], jnp.float32),
+        }
+
+    return eval_fn
+
+
+def make_decode_step(
+    encode_fn: Callable[..., Tuple[jnp.ndarray, jnp.ndarray]],
+    attention_cfg,
+    beam_k: int,
+    len_factor: float = 1.0,
+):
+    """Beam-search decode over a batch: encode then search.
+
+    encode_fn(params, x, x_len) -> (annotations, annotation_lengths)
+    (models downsample time, so lengths transform). eos per sample is
+    the final target token (timit.lua:398).
+    """
+
+    def decode_fn(params, x, x_len, eos_id, max_steps_cap: int):
+        h, h_len = encode_fn(params, x, x_len)
+        max_steps = jnp.minimum(
+            (len_factor * h_len).astype(jnp.int32), max_steps_cap
+        )
+        return beam_lib.beam_search(
+            params["decoder"], attention_cfg, h, h_len, eos_id,
+            k=beam_k, max_steps=max_steps, max_steps_cap=max_steps_cap,
+        )
+
+    return decode_fn
+
+
+# ---------------------------------------------------------------------------
+# Epoch-level driver
+# ---------------------------------------------------------------------------
+
+
+class MetricLog:
+    """JSONL metrics log (replaces the reference's HDF5 log.h5 scalar
+    series, timit.lua:428-445; attention-map dumps live in
+    tools/extract_alpha.py)."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self.rows = []
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def append(self, row: Dict[str, Any]):
+        row = {
+            k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
+            for k, v in row.items()
+        }
+        self.rows.append(row)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+
+    @staticmethod
+    def load(path: str):
+        with open(path) as f:
+            return [json.loads(l) for l in f if l.strip()]
+
+
+class Trainer:
+    """Epoch loop: Train() + Evaluate() + checkpoints + logs.
+
+    Mirrors the reference run loop (timit/timit.lua:493-565): per-epoch
+    shuffled training, teacher-forced valid NLL/accuracy, beam-search
+    PER/CER, JSONL metric log, checkpoints for latest / best accuracy /
+    best PER, resume from the latest checkpoint, and per-epoch
+    optimizer-hyperparameter resets (optimConfigResets,
+    timit.lua:496-502).
+    """
+
+    def __init__(
+        self,
+        model,
+        ocfg: optim_lib.OptimConfig,
+        tcfg: TrainConfig,
+        *,
+        vocab=None,  # timit.Vocab for 61->39 PER scoring; None -> CER on raw ids
+        save_dir: Optional[str] = None,
+        optim_resets: Optional[Dict[int, optim_lib.OptimConfig]] = None,
+        jit: bool = True,
+    ):
+        self.model = model
+        self.ocfg = ocfg
+        self.tcfg = tcfg
+        self.vocab = vocab
+        self.save_dir = save_dir
+        self.optim_resets = optim_resets or {}
+        self.log = MetricLog(
+            os.path.join(save_dir, "log.jsonl") if save_dir else None
+        )
+        self._build(ocfg, jit)
+        self.state = None
+        self.epoch = 0
+        self.best = {"valid_accuracy": -1.0, "valid_per": float("inf")}
+
+    def _build(self, ocfg, jit=True):
+        tx = optim_lib.build_optimizer(ocfg)
+        self.init_fn, step_fn = make_train_step(
+            self.model.forward, tx, ocfg, self.tcfg, self.model.output_depth
+        )
+        eval_fn = make_eval_step(self.model.forward, self.model.output_depth)
+        decode_fn = make_decode_step(
+            self.model.encode,
+            self.model.attention_cfg,
+            self.tcfg.beam_k,
+            self.tcfg.eval_len_factor,
+        )
+        if jit:
+            self.step_fn = jax.jit(step_fn, donate_argnums=0)
+            self.eval_fn = jax.jit(eval_fn)
+            self.decode_fn = jax.jit(decode_fn, static_argnames=("max_steps_cap",))
+        else:
+            self.step_fn, self.eval_fn, self.decode_fn = step_fn, eval_fn, decode_fn
+
+    # -- state management ---------------------------------------------------
+
+    def init(self, params):
+        self.state = self.init_fn(params, jax.random.PRNGKey(self.tcfg.seed))
+        return self.state
+
+    def _ckpt_path(self, tag: str) -> str:
+        return os.path.join(self.save_dir, f"ckpt_{tag}")
+
+    def save_checkpoint(self, tag: str = "latest"):
+        from . import checkpoint
+
+        if not self.save_dir:
+            return
+        checkpoint.save(
+            self._ckpt_path(tag),
+            {"state": self.state, "epoch": self.epoch, "best": self.best},
+        )
+
+    def resume(self) -> bool:
+        from . import checkpoint
+
+        if not self.save_dir or self.state is None:
+            return False
+        path = self._ckpt_path("latest")
+        if not checkpoint.exists(path):
+            return False
+        like = {"state": self.state, "epoch": 0, "best": dict(self.best)}
+        blob = checkpoint.load(path, like=like)
+        self.state = jax.tree.map(jnp.asarray, blob["state"])
+        self.epoch = int(blob["epoch"])
+        self.best = {k: float(v) for k, v in blob["best"].items()}
+        return True
+
+    # -- epoch phases -------------------------------------------------------
+
+    @staticmethod
+    def _batch_arrays(batch):
+        return (
+            jnp.asarray(batch.x),
+            jnp.asarray(batch.x_len),
+            jnp.asarray(batch.y),
+            jnp.asarray(batch.dec_mask),
+        )
+
+    def train_epoch(self, ds, batcher, epoch: int) -> Dict[str, float]:
+        agg = {"loss": 0.0, "nll": 0.0, "correct": 0.0, "total": 0.0,
+               "grad_norm": 0.0, "penalty": 0.0}
+        n_batches = 0
+        n_samples = 0
+        t0 = time.time()
+        for batch in batcher.batches(
+            ds, shuffle=True, seed=self.tcfg.seed + epoch,
+            max_samples=self.tcfg.max_samples,
+        ):
+            self.state, m = self.step_fn(self.state, self._batch_arrays(batch))
+            n_batches += 1
+            n_samples += len(batch.uids)
+            for k in ("loss", "nll", "correct", "total", "grad_norm", "penalty"):
+                agg[k] += float(m[k])
+        dt = time.time() - t0
+        out = {
+            "epoch": epoch,
+            "train_loss": agg["loss"] / max(n_batches, 1),
+            "train_nll": agg["nll"] / max(n_batches, 1),
+            "train_accuracy": agg["correct"] / max(agg["total"], 1.0),
+            "grad_norm": agg["grad_norm"] / max(n_batches, 1),
+            "penalty": agg["penalty"] / max(n_samples, 1),
+            "train_seconds": dt,
+            "train_samples_per_s": n_samples / max(dt, 1e-9),
+        }
+        return out
+
+    def evaluate(self, ds, batcher, decode: bool = True) -> Dict[str, float]:
+        """Teacher-forced NLL/accuracy + beam-search PER/CER
+        (timit.lua:368-417)."""
+        params = eval_params(self.tcfg, self.state[0])
+        nll = correct = total = n = 0.0
+        dists, tlens = [], []
+        t0 = time.time()
+        for batch in batcher.batches(
+            ds, shuffle=False, max_samples=self.tcfg.max_samples
+        ):
+            arrs = self._batch_arrays(batch)
+            m = self.eval_fn(params, arrs)
+            nll += float(m["nll"])
+            correct += float(m["correct"])
+            total += float(m["total"])
+            n += float(m["n"])
+            if decode:
+                x, x_len, y, _ = arrs
+                # eos = final target token (timit.lua:398)
+                eos = y[jnp.arange(y.shape[0]), jnp.asarray(batch.y_len) - 1]
+                res = self.decode_fn(
+                    params, x, x_len, eos, max_steps_cap=int(x.shape[1])
+                )
+                pred = np.asarray(res.tokens)
+                plen = np.asarray(res.lengths)
+                if self.vocab is not None and batch.y39 is not None:
+                    targets = batch.y39
+                    mapper = self.vocab.map_ids_61_to_39
+                else:
+                    targets = batch.y
+                    mapper = lambda ids: ids
+                for i in range(pred.shape[0]):
+                    p39 = mapper(pred[i, : plen[i]])
+                    t39 = targets[i, : batch.y_len[i]]
+                    dists.append(
+                        metrics_lib.edit_distance(p39, t39) / max(len(t39), 1)
+                    )
+                    tlens.append(len(t39))
+        out = {
+            "valid_nll": nll / max(n, 1.0),
+            "valid_accuracy": correct / max(total, 1.0),
+            "valid_seconds": time.time() - t0,
+        }
+        if decode and dists:
+            out["valid_per"] = float(np.mean(dists))
+        return out
+
+    # -- full fit -----------------------------------------------------------
+
+    def fit(self, train_ds, valid_ds, batcher, *, resume: bool = False,
+            decode_every: int = 1):
+        if resume:
+            self.resume()
+        while self.epoch < self.tcfg.num_epochs:
+            epoch = self.epoch + 1
+            if epoch in self.optim_resets:
+                # optimConfigResets: swap hyperparameters, keep params
+                # (reference resets optimConfig/optimState per epoch,
+                # timit.lua:496-502)
+                new_ocfg = self.optim_resets[epoch]
+                train_params, _, rng = self.state
+                self._build(new_ocfg)
+                self.state = (train_params, optim_lib.build_optimizer(new_ocfg).init(train_params), rng)
+            row = self.train_epoch(train_ds, batcher, epoch)
+            do_decode = decode_every > 0 and epoch % decode_every == 0
+            row.update(self.evaluate(valid_ds, batcher, decode=do_decode))
+            self.epoch = epoch
+            self.log.append(row)
+            self.save_checkpoint("latest")
+            if row["valid_accuracy"] > self.best["valid_accuracy"]:
+                self.best["valid_accuracy"] = row["valid_accuracy"]
+                self.save_checkpoint("best_valid_accuracy")
+            if row.get("valid_per", float("inf")) < self.best["valid_per"]:
+                self.best["valid_per"] = row["valid_per"]
+                self.save_checkpoint("best_valid_PER")
+            yield row

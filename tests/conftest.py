@@ -17,4 +17,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# Belt and braces: if a pytest plugin imported jax before this conftest
+# ran, the env var above came too late — force the platform through the
+# config as well (the tunneled TPU must never be grabbed by unit tests).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

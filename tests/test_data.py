@@ -1,0 +1,180 @@
+"""Feature front end, batching, vocab, and HDF5 round-trip tests."""
+
+import os
+import struct
+import tempfile
+
+import numpy as np
+import pytest
+
+from seq2seq_attention_asr_tpu.data import audio, batching, features, timit
+from seq2seq_attention_asr_tpu.data import librispeech as ls
+
+
+def test_mel_filterbank_properties():
+    fb = features.mel_filterbank(16000, 2048, 128)
+    assert fb.shape == (128, 1025)
+    assert np.all(fb >= 0)
+    # every filter has support; centers increase
+    assert np.all(fb.sum(axis=1) > 0)
+    centers = np.argmax(fb, axis=1)
+    assert np.all(np.diff(centers) >= 0)
+
+
+def test_stft_sine_peak():
+    sr, f0 = 16000, 1000.0
+    t = np.arange(sr) / sr
+    y = np.sin(2 * np.pi * f0 * t)
+    S = np.abs(features.stft_np(y)) ** 2
+    peak_bin = np.argmax(S[:, S.shape[1] // 2])
+    assert abs(peak_bin * sr / 2048 - f0) < 20.0
+
+
+def test_logmel_shape_and_finite():
+    y = np.random.RandomState(0).randn(16000) * 0.1
+    f = features.logmel_np(y, 16000)
+    assert f.shape[1] == 123  # 40 mel + energy, x3 (SURVEY §3.5)
+    assert np.all(np.isfinite(f))
+    fs = features.logmel_stacked_np(y, 16000)
+    assert fs.shape[0] == 3 and fs.shape[2] == 40
+
+
+def test_delta_linear_ramp():
+    # delta of a linear ramp is constant in the interior:
+    # sum_k k*(x[i+k]-x[i-k]) with slope s gives s * 2*sum k^2 = 60*s
+    x = (np.arange(30, dtype=np.float64) * 2.0)[None, :]
+    d = features.delta_np(x, width=9, order=1)
+    np.testing.assert_allclose(d[0, 8:-8], 2.0 * 60.0, rtol=1e-12)
+
+
+def test_logmel_jax_matches_np():
+    y = np.random.RandomState(1).randn(8192) * 0.3
+    f_np = features.logmel_np(y, 16000)
+    f_j = np.asarray(features.logmel_jax(y[None, :], 16000))[0]
+    assert f_j.shape == f_np.shape
+    # same numerics modulo float32 (log-domain, tolerate 1e-3)
+    np.testing.assert_allclose(f_j, f_np, rtol=1e-3, atol=2e-2)
+
+
+def test_normalize_corpus_stats_and_pad():
+    rng = np.random.RandomState(2)
+    tr = [rng.randn(20, 5) * 3 + 1, rng.randn(14, 5) * 3 + 1]
+    te = [rng.randn(9, 5)]
+    (ntr, nte, mean, std) = features.normalize_corpus(tr, te, pad=4)
+    cat = np.concatenate([n[4:-4] for n in ntr], axis=0)
+    np.testing.assert_allclose(cat.mean(axis=0), 0.0, atol=1e-10)
+    np.testing.assert_allclose(cat.std(axis=0), 1.0, atol=1e-10)
+    assert ntr[0].shape == (28, 5)
+    np.testing.assert_array_equal(ntr[0][:4], 0.0)
+    assert nte[0].shape == (17, 5)
+
+
+def _toy_dataset(n=10, seed=0, d=6, vmax=7):
+    rng = np.random.RandomState(seed)
+    ds = timit.Dataset(uids=[], x=[], y=[], y39=[], start=[], finish=[])
+    for i in range(n):
+        li = rng.randint(5, 40)
+        ti = rng.randint(2, 10)
+        ds.uids.append(f"u{i}")
+        ds.x.append(rng.randn(li, d).astype(np.float32))
+        ds.y.append(rng.randint(0, vmax, ti).astype(np.int32))
+        ds.y39.append(rng.randint(0, 5, ti).astype(np.int32))
+        ds.start.append(np.zeros(ti, np.int64))
+        ds.finish.append(np.zeros(ti, np.int64))
+    return ds
+
+
+def test_bucketed_batcher_reconstruction():
+    ds = _toy_dataset(17)
+    b = batching.BucketedBatcher.from_dataset(ds, batch_size=4, n_buckets=3)
+    seen = {}
+    for batch in b.batches(ds, shuffle=True, seed=1):
+        assert batch.x.shape[0] == len(batch.uids)
+        assert batch.x.shape[1] in b.l_buckets
+        for j, uid in enumerate(batch.uids):
+            i = int(uid[1:])
+            li = int(batch.x_len[j])
+            np.testing.assert_array_equal(batch.x[j, :li], ds.x[i][:li])
+            np.testing.assert_array_equal(
+                batch.y[j, : int(batch.y_len[j])], ds.y[i]
+            )
+            # padding is zero
+            assert np.all(batch.x[j, li:] == 0)
+            np.testing.assert_array_equal(
+                batch.dec_mask[j],
+                (np.arange(batch.y.shape[1]) < len(ds.y[i])).astype(np.float32),
+            )
+            seen[uid] = seen.get(uid, 0) + 1
+    assert sorted(seen) == sorted(ds.uids)
+    assert all(v == 1 for v in seen.values())
+
+
+def test_vocab_standard():
+    v = timit.Vocab.standard()
+    assert v.size == 62  # 61 phones + <EOS> — reference outputDepth
+    assert v.fold39["zh"] == "sh" and v.fold39["ix"] == "ih"
+    ids = v.to_ids(["aa", "zh", timit.EOS])
+    m39 = v.map_ids_61_to_39(ids)
+    assert v.index39["sh"] == m39[1]
+    assert m39[2] == v.index39[timit.EOS]
+    # eos is the last index in both spaces
+    assert ids[2] == v.size - 1
+
+
+def test_hdf5_roundtrip(tmp_path):
+    pytest.importorskip("h5py")
+    ds = _toy_dataset(5)
+    p = str(tmp_path / "d.h5")
+    timit.save_hdf5(ds, p)
+    ds2 = timit.load_hdf5(p)
+    assert ds2.uids == sorted(ds.uids)
+    i = ds.uids.index(ds2.uids[0])
+    np.testing.assert_array_equal(ds2.x[0], ds.x[i])
+    np.testing.assert_array_equal(ds2.y[0], ds.y[i])
+
+
+def test_librispeech_vocab_and_chunks(tmp_path):
+    pytest.importorskip("h5py")
+    v = ls.build_vocab(["hello world", "abc"])
+    assert v.charmap[ls.EOS] == v.num_chars - 1
+    ids = v.chars_to_ids("abc")
+    assert ids[-1] == v.charmap[ls.EOS]
+    assert v.ids_to_chars(ids) == "abc"
+    ds = _toy_dataset(7)
+    ds.y39 = None
+    paths = ls.save_chunked(ds, str(tmp_path), n_chunks=3)
+    assert len(paths) == 3
+    total = 0
+    for chunk in ls.iter_chunks(str(tmp_path), shuffle=True, seed=3):
+        total += len(chunk)
+    assert total == 7
+    ls.save_meta(str(tmp_path), {"inputFrameSize": 6, "numchars": 5})
+    assert ls.load_meta(str(tmp_path))["inputFrameSize"] == 6
+
+
+def test_wav_readers(tmp_path):
+    # RIFF wav
+    sr = 16000
+    pcm = (np.sin(np.arange(800) / 10.0) * 20000).astype(np.int16)
+    p = str(tmp_path / "a.wav")
+    import scipy.io.wavfile as wavfile
+
+    wavfile.write(p, sr, pcm)
+    y, got_sr = audio.read_audio(p)
+    assert got_sr == sr
+    np.testing.assert_allclose(y, pcm / 32768.0, atol=1e-9)
+
+    # NIST SPHERE
+    hdr = (
+        b"NIST_1A\n    1024\n"
+        + f"sample_rate -i {sr}\nsample_count -i {len(pcm)}\n"
+        f"sample_n_bytes -i 2\nsample_byte_format -s2 01\n"
+        f"sample_coding -s3 pcm\nend_head\n".encode()
+    )
+    sph = hdr + b" " * (1024 - len(hdr)) + pcm.tobytes()
+    p2 = str(tmp_path / "b.wav")
+    with open(p2, "wb") as f:
+        f.write(sph)
+    y2, sr2 = audio.read_audio(p2)
+    assert sr2 == sr
+    np.testing.assert_allclose(y2, pcm / 32768.0, atol=1e-9)
