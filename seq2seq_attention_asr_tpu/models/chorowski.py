@@ -45,6 +45,7 @@ class ChorowskiConfig:
     mono_align: bool = True
     dropout: float = 0.0  # >0 reproduces model_chorowski_baseline_dropout
     scan_unroll: int = 1
+    rnn_backend: str = "auto"  # "auto" | "xla" | "pallas" (fused GRU scan)
 
     @property
     def annotation_depth(self) -> int:
@@ -87,9 +88,10 @@ def encode(
     """x: (B, L, input_frame_size) -> annotations (B, L, 2*output_frame_size)."""
     enc = params["encoder"]
     u = cfg.scan_unroll
-    h = rnn.bigru_layer(enc["bigru1"], x, lengths, unroll=u)
-    h = rnn.bigru_layer(enc["bigru2"], h, lengths, unroll=u)
-    h = rnn.bigru_layer(enc["bigru3"], h, lengths, unroll=u)
+    be = cfg.rnn_backend
+    h = rnn.bigru_layer(enc["bigru1"], x, lengths, unroll=u, backend=be)
+    h = rnn.bigru_layer(enc["bigru2"], h, lengths, unroll=u, backend=be)
+    h = rnn.bigru_layer(enc["bigru3"], h, lengths, unroll=u, backend=be)
     return h
 
 

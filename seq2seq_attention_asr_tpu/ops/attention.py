@@ -322,7 +322,17 @@ def decode_teacher_forced(
     y_prev = jnp.concatenate(
         [jnp.zeros_like(labels_onehot[:, :1]), labels_onehot[:, :-1]], axis=1
     )
-    state0 = init_state(cfg, b, loc_l, h.dtype)
+    # Zero initial state (Recurrent.lua zero-state templates), derived
+    # from the traced inputs so it inherits their varying-manual-axes
+    # under shard_map (alpha varies with h over dp/sp; s/mem vary with
+    # the labels over dp only). Outside shard_map this is plain zeros.
+    state0 = (
+        jnp.zeros_like(h[:, :, 0]),
+        jnp.zeros((b, cfg.state_depth), h.dtype)
+        + 0.0 * labels_onehot[:, 0, :1].astype(h.dtype),
+        jnp.zeros((b, cfg.state_depth), h.dtype)
+        + 0.0 * labels_onehot[:, 0, :1].astype(h.dtype),
+    )
 
     def step(state, inputs):
         y_prev_t, step_mask_t = inputs

@@ -54,7 +54,10 @@ def masked_softmax(
     e = jnp.where(mask > 0, e, NEG_INF)
     m = jnp.max(e, axis=axis, keepdims=True)
     if axis_name is not None:
-        m = jax.lax.pmax(m, axis_name)
+        # all_gather + max instead of pmax: same result, and it has a
+        # differentiation rule (the max is stop-gradient'ed below, but
+        # JVP still traces through the collective).
+        m = jnp.max(jax.lax.all_gather(m, axis_name), axis=0)
     e = e - jax.lax.stop_gradient(m)
     w = jnp.exp(e) * (mask > 0)
     z = jnp.sum(w, axis=axis, keepdims=True)

@@ -1,0 +1,215 @@
+"""Fused Pallas GRU scan — the encoder's hot kernel.
+
+The reference's recurrence bottoms out in per-timestep cuDNN-less
+Torch GEMMs dispatched from Lua (RNN.lua:153-164 clone loop). The XLA
+version (ops/rnn.py) already hoists the input projections; this kernel
+removes the remaining per-step overhead by running the WHOLE time loop
+inside one Pallas program:
+
+  - recurrent weights live in VMEM for the entire sequence (no HBM
+    re-fetch per step; at H=256 the two kernels are 0.75 MB);
+  - the hidden state is a VMEM scratch carried across sequential grid
+    steps (TPU grid iterations execute in order on a core);
+  - per-step work is two MXU matmuls (B,H)@(H,2H) and (B,H)@(H,H) plus
+    VPU gates — nothing else touches HBM except the streamed xproj
+    block in and the h block out (auto double-buffered by Pallas).
+
+The backward pass is a second Pallas kernel scanning t = L-1..0 that
+recomputes the gates from (h_prev, xproj) — no activation stash beyond
+the forward outputs — and accumulates dW in VMEM scratch, exposed via
+`jax.custom_vjp`.
+
+Math matches ops/cells.py `gru_step_preproj` exactly (reference
+GRU.lua:22-30: bias-free gates on concat(h, x), candidate on
+concat(r*h, x), h' = (1-z)*h + z*c).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(xproj_ref, h0_ref, wzr_ref, wh_ref, out_ref, h_scr):
+    """Blocks are time-major: xproj_ref (1, B, 3H), out_ref (1, B, H) —
+    the TPU tiling constraint wants the last two dims (sublane, lane)
+    aligned, so time is the leading (blocked) axis."""
+    t = pl.program_id(0)
+    hdim = wh_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    xzr = xproj_ref[0, :, : 2 * hdim]
+    xh = xproj_ref[0, :, 2 * hdim :]
+    zr = jax.nn.sigmoid(
+        jnp.dot(h, wzr_ref[:], preferred_element_type=jnp.float32) + xzr
+    )
+    z = zr[:, :hdim]
+    r = zr[:, hdim:]
+    c = jnp.tanh(
+        jnp.dot(r * h, wh_ref[:], preferred_element_type=jnp.float32) + xh
+    )
+    h_new = (1.0 - z) * h + z * c
+    h_scr[:] = h_new
+    out_ref[0, :, :] = h_new
+
+
+def _bwd_kernel(
+    xproj_ref, hprev_ref, dys_ref, wzr_ref, wh_ref,
+    dxproj_ref, dh0_ref, dwzr_ref, dwh_ref,
+    dh_scr, dwzr_scr, dwh_scr,
+):
+    t = pl.program_id(0)  # 0..L-1, blocks map to time L-1-t
+    n = pl.num_programs(0)
+    hdim = wh_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwzr_scr[:] = jnp.zeros_like(dwzr_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+
+    h_prev = hprev_ref[0, :, :]
+    xzr = xproj_ref[0, :, : 2 * hdim]
+    xh = xproj_ref[0, :, 2 * hdim :]
+    # recompute forward gates
+    zr = jax.nn.sigmoid(
+        jnp.dot(h_prev, wzr_ref[:], preferred_element_type=jnp.float32) + xzr
+    )
+    z = zr[:, :hdim]
+    r = zr[:, hdim:]
+    rh = r * h_prev
+    c = jnp.tanh(jnp.dot(rh, wh_ref[:], preferred_element_type=jnp.float32) + xh)
+
+    dh = dys_ref[0, :, :] + dh_scr[:]
+    dz = dh * (c - h_prev)
+    da_c = dh * z * (1.0 - c * c)
+    drh = jnp.dot(da_c, wh_ref[:].T, preferred_element_type=jnp.float32)
+    dr = drh * h_prev
+    da_z = dz * z * (1.0 - z)
+    da_r = dr * r * (1.0 - r)
+    da_zr = jnp.concatenate([da_z, da_r], axis=1)
+    dh_prev = (
+        drh * r
+        + jnp.dot(da_zr, wzr_ref[:].T, preferred_element_type=jnp.float32)
+        + dh * (1.0 - z)
+    )
+
+    dxproj_ref[0, :, : 2 * hdim] = da_zr
+    dxproj_ref[0, :, 2 * hdim :] = da_c
+    dwzr_scr[:] += jnp.dot(
+        h_prev.T, da_zr, preferred_element_type=jnp.float32
+    )
+    dwh_scr[:] += jnp.dot(rh.T, da_c, preferred_element_type=jnp.float32)
+    dh_scr[:] = dh_prev
+
+    @pl.when(t == n - 1)
+    def _():
+        dh0_ref[:] = dh_prev
+        dwzr_ref[:] = dwzr_scr[:]
+        dwh_ref[:] = dwh_scr[:]
+
+
+def _run_fwd(xproj, h0, w_zr_h, w_h_h, interpret=False):
+    b, l, _ = xproj.shape
+    h = w_h_h.shape[1]
+    xproj_t = jnp.swapaxes(xproj, 0, 1)  # (L, B, 3H) time-major
+    ys_t = pl.pallas_call(
+        _fwd_kernel,
+        grid=(l,),
+        in_specs=[
+            pl.BlockSpec((1, b, 3 * h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 2 * h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((l, b, h), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * l * b * h * 3 * h + 12 * l * b * h,
+            bytes_accessed=4 * (l * b * 4 * h + 3 * h * h),
+            transcendentals=3 * l * b * h,
+        ),
+    )(xproj_t, h0, w_zr_h, w_h_h)
+    return jnp.swapaxes(ys_t, 0, 1)
+
+
+def _run_bwd(xproj, h_prevs, dys, w_zr_h, w_h_h, interpret=False):
+    b, l, _ = xproj.shape
+    h = w_h_h.shape[1]
+    rev = lambda t: (l - 1 - t, 0, 0)
+    const2 = lambda t: (0, 0)
+    tm = lambda a: jnp.swapaxes(a, 0, 1)  # time-major
+    dxproj_t, dh0, dwzr, dwh = pl.pallas_call(
+        _bwd_kernel,
+        grid=(l,),
+        in_specs=[
+            pl.BlockSpec((1, b, 3 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 2 * h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, 3 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 2 * h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((l, b, 3 * h), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, 2 * h), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((h, 2 * h), jnp.float32),
+            pltpu.VMEM((h, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tm(xproj), tm(h_prevs), tm(dys), w_zr_h, w_h_h)
+    return tm(dxproj_t), dh0, dwzr, dwh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gru_scan(xproj, h0, w_zr_h, w_h_h, interpret=False):
+    """Fused GRU over time. xproj: (B, L, 3H) precomputed input
+    projections (cells.gru_input_proj); h0: (B, H); recurrent kernels
+    w_zr_h (H, 2H), w_h_h (H, H). Returns all hidden states (B, L, H).
+    """
+    return _run_fwd(xproj, h0, w_zr_h, w_h_h, interpret)
+
+
+def _vjp_fwd(xproj, h0, w_zr_h, w_h_h, interpret=False):
+    ys = _run_fwd(xproj, h0, w_zr_h, w_h_h, interpret)
+    return ys, (xproj, h0, w_zr_h, w_h_h, ys)
+
+
+def _vjp_bwd(interpret, res, dys):
+    xproj, h0, w_zr_h, w_h_h, ys = res
+    h_prevs = jnp.concatenate([h0[:, None, :], ys[:, :-1, :]], axis=1)
+    dxproj, dh0, dwzr, dwh = _run_bwd(
+        xproj, h_prevs, dys, w_zr_h, w_h_h, interpret
+    )
+    return dxproj, dh0, dwzr, dwh
+
+
+gru_scan.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def supported(batch: int, hidden: int) -> bool:
+    """Shape gate: lanes want H % 128 == 0, sublanes B % 8 == 0."""
+    return hidden % 128 == 0 and batch % 8 == 0

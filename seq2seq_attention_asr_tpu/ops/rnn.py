@@ -22,6 +22,14 @@ from .masking import flip_sequences
 Params = Dict[str, Any]
 
 
+def _pallas_available(batch: int, hidden: int) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from .pallas import gru_scan as _gs
+
+    return _gs.supported(batch, hidden)
+
+
 def gru_layer(
     params: Params,
     x: jnp.ndarray,
@@ -29,6 +37,7 @@ def gru_layer(
     reverse: bool = False,
     h0: jnp.ndarray | None = None,
     unroll: int = 1,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Run a GRU over a padded batch. x: (B, L, I) -> (B, L, H).
 
@@ -37,6 +46,10 @@ def gru_layer(
     flipped about `lengths`, scanned forward, and flipped back, so
     output[t] for a reverse layer is the state after consuming
     x[t..len-1], with padding untouched.
+
+    backend: "auto" uses the fused Pallas time-scan kernel on TPU when
+    shapes are tile-friendly; "xla" forces lax.scan; "pallas" forces
+    the kernel.
     """
     h_dim = params["w_zr"].shape[1] // 2
     if reverse:
@@ -48,12 +61,24 @@ def gru_layer(
     if h0 is None:
         h0 = jnp.zeros((x.shape[0], h_dim), x.dtype)
 
-    def step(h, xp_t):
-        h = cells.gru_step_preproj(params, xp_t, h)
-        return h, h
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and _pallas_available(x.shape[0], h_dim)
+    )
+    if use_pallas:
+        from .pallas import gru_scan as _gs
 
-    _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1), unroll=unroll)
-    ys = jnp.swapaxes(ys, 0, 1)  # (B, L, H)
+        # gru_step_preproj expects xproj blocks (xz|xr|xh) matching the
+        # fused kernel layout; recurrent halves of the stored kernels.
+        ys = _gs.gru_scan(
+            xproj, h0, params["w_zr"][:h_dim], params["w_h"][:h_dim]
+        )
+    else:
+        def step(h, xp_t):
+            h = cells.gru_step_preproj(params, xp_t, h)
+            return h, h
+
+        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1), unroll=unroll)
+        ys = jnp.swapaxes(ys, 0, 1)  # (B, L, H)
     if reverse:
         if lengths is None:
             ys = ys[:, ::-1]
@@ -103,15 +128,19 @@ def bigru_init(key, dim_in: int, dim_out: int, dtype=jnp.float32) -> Params:
 
 
 def bigru_layer(
-    params: Params, x: jnp.ndarray, lengths: jnp.ndarray | None = None, unroll: int = 1
+    params: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+    unroll: int = 1,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Bidirectional GRU: concat(fwd, bwd) along features (B, L, 2H).
 
     Mirrors the fRNN/bRNN + JoinTable pairs of the Chorowski encoder
     (reference timit/model_chorowski_baseline.lua:22-34).
     """
-    fwd = gru_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll)
-    bwd = gru_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll)
+    fwd = gru_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll, backend=backend)
+    bwd = gru_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll, backend=backend)
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 
