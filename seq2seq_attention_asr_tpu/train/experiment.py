@@ -116,6 +116,55 @@ def librispeech_chorowski(
     return exp
 
 
+def timit_conv_bilstm(
+    data_path: Optional[str] = None, save_dir: Optional[str] = None
+) -> Experiment:
+    """The inline TIMIT conv+BiLSTM model (timit/timit.lua:98-169):
+    3x(conv k=3 + ReLU + maxpool 2) 8x time downsampling, BiLSTM(256,128),
+    LSTM decoder, location-aware attention featMaps=16 filt=5."""
+    return Experiment(
+        name="exp_timit_conv_bilstm",
+        model="conv_bilstm",
+        model_kwargs=dict(
+            input_frame_size=123, hidden_frame_size=256, output_frame_size=128,
+            kw=3, score_depth=150, filt_size=5, feature_maps=16,
+            state_depth=400, output_depth=62,
+        ),
+        train=TrainConfig(num_epochs=100, batch_size=16, normalize_nll=True, beam_k=5),
+        optim=optim_lib.OptimConfig(rho=0.95, eps=1e-8, maxnorm=1e20),
+        data_path=data_path,
+        save_dir=save_dir,
+        orthogonalize=True,
+    )
+
+
+def librispeech_vgg(
+    num_chars: int, data_path: Optional[str] = None, save_dir: Optional[str] = None
+) -> Experiment:
+    """librispeech/model_vgg.lua: VGG conv encoder on 3-channel stacked
+    logmel, annotationDepth = outputFrameSize (:63), two-layer maxout
+    readout (:74-82)."""
+    return Experiment(
+        name="exp_librispeech_vgg",
+        model="vgg",
+        model_kwargs=dict(
+            input_frame_size=40, output_frame_size=512, score_depth=512,
+            filt_size=10, feature_maps=0, state_depth=256, mlp_depth=64,
+            output_depth=num_chars,
+        ),
+        train=TrainConfig(
+            num_epochs=100, batch_size=16, normalize_nll=True, beam_k=5,
+            eval_len_factor=2.0,
+        ),
+        optim=optim_lib.OptimConfig(
+            rho=0.95, eps=1e-8, colnorm=True, colnorm_maxval=1.0
+        ),
+        data_path=data_path,
+        save_dir=save_dir,
+        orthogonalize=True,
+    )
+
+
 def scriptchecker(save_dir: Optional[str] = None) -> Experiment:
     """exp0_scriptchecker.lua: tiny end-to-end smoke config (3 samples,
     small model, gaussian+orthogonal init)."""
@@ -136,3 +185,108 @@ def scriptchecker(save_dir: Optional[str] = None) -> Experiment:
         init_std=0.01,
         orthogonalize=True,
     )
+
+
+def run_cli(builder, dataset: str, argv=None, source_file: Optional[str] = None):
+    """Shared CLI runner for experiment config scripts (configs/exp_*.py)
+    and tools/train.py — the equivalent of the reference's
+    `dofile(modelfile); dofile(trainfile)` bottom half
+    (exp_logmel7_chorowski_normNLL_colnorm.lua:42-50).
+
+    dataset: "timit" | "librispeech" | "scriptchecker". The builder is
+    called with (data_path=..., save_dir=...) plus num_chars=... for
+    LibriSpeech experiments.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--save", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--max-samples", type=int, default=None)
+    ap.add_argument("--decode-every", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from ..data import batching
+    from ..data import librispeech as ls
+    from ..data import timit as timit_data
+    from .trainer import Trainer
+
+    vocab = None
+    if dataset == "timit":
+        exp = builder(data_path=args.data, save_dir=args.save)
+        train_ds = timit_data.load_hdf5(os.path.join(args.data, "train.h5"))
+        valid_ds = timit_data.load_hdf5(os.path.join(args.data, "valid.h5"))
+        vocab = timit_data.Vocab.standard()
+    elif dataset == "librispeech":
+        meta = ls.load_meta(args.data)
+        exp = builder(
+            num_chars=meta["numchars"], data_path=args.data, save_dir=args.save
+        )
+        chunks = list(ls.iter_chunks(args.data))
+        train_ds = chunks[0]
+        for c in chunks[1:]:
+            train_ds.uids += c.uids
+            train_ds.x += c.x
+            train_ds.y += c.y
+        valid_ds = timit_data.load_hdf5(os.path.join(args.data, "valid.h5"))
+    elif dataset == "scriptchecker":
+        exp = builder(save_dir=args.save)
+        train_ds = timit_data.load_hdf5(os.path.join(args.data, "train.h5"))
+        valid_ds = timit_data.load_hdf5(os.path.join(args.data, "valid.h5"))
+        # size the output layer to the data's label space (out-of-range
+        # ids would silently one-hot to zero rows)
+        vmax = int(max(int(y.max()) for y in train_ds.y + valid_ds.y)) + 1
+        exp.model_kwargs["output_depth"] = max(
+            exp.model_kwargs.get("output_depth", 0), vmax
+        )
+        if train_ds.y39 is not None:
+            vocab = timit_data.Vocab.standard()
+    else:
+        raise ValueError(dataset)
+
+    if args.epochs:
+        exp.train = dataclasses.replace(exp.train, num_epochs=args.epochs)
+    if args.batch_size:
+        exp.train = dataclasses.replace(exp.train, batch_size=args.batch_size)
+    if args.max_samples:
+        exp.train = dataclasses.replace(exp.train, max_samples=args.max_samples)
+    if exp.model_kwargs.get("input_frame_size") != train_ds.x[0].shape[-1]:
+        exp.model_kwargs["input_frame_size"] = int(train_ds.x[0].shape[-1])
+    exp.archive(source_file)
+
+    model = exp.build_model()
+    params = exp.init_params(jax.random.PRNGKey(exp.train.seed))
+    tr = Trainer(
+        model, exp.optim, exp.train, vocab=vocab, save_dir=exp.save_dir,
+        optim_resets=exp.optim_resets,
+    )
+    tr.init(params)
+    batcher = batching.BucketedBatcher.from_dataset(
+        train_ds, batch_size=exp.train.batch_size
+    )
+    for row in tr.fit(
+        train_ds, valid_ds, batcher, resume=args.resume,
+        decode_every=args.decode_every,
+    ):
+        keys = ("epoch", "train_nll", "train_accuracy", "valid_nll",
+                "valid_accuracy", "valid_per", "train_seconds",
+                "train_samples_per_s")
+        print(
+            "  ".join(
+                f"{k}={row[k]:.4f}" if isinstance(row.get(k), float)
+                else f"{k}={row.get(k)}"
+                for k in keys if k in row
+            ),
+            flush=True,
+        )
+    return tr
