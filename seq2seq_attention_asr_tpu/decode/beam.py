@@ -55,11 +55,20 @@ def beam_search(
     k: int = 5,
     max_steps: jnp.ndarray | None = None,
     max_steps_cap: int | None = None,
+    axis_name: str | None = None,
 ) -> BeamResult:
     """h: (B, L, A) annotations. max_steps: (B,) per-sample cap
     (reference: utterance length L, or 2L for LibriSpeech); defaults to
     enc_lengths. max_steps_cap bounds the unrolled buffer (defaults to
-    the padded L). Returns the best finished hypothesis per sample."""
+    the padded L). Returns the best finished hypothesis per sample.
+
+    With `axis_name` (inside shard_map) h is the LOCAL (B, L/n, A)
+    sequence shard: attention energies/context use cross-shard
+    collectives (SURVEY.md §2.6(d) — distributed beam state: the beam
+    bookkeeping is replicated over the sp axis, encoder state stays
+    sharded; every shard computes identical top_k decisions because the
+    psum'd context and logprobs are identical). max_steps_cap is
+    required under sharding (the default L would be the local length)."""
     b, l_pad, _ = h.shape
     v = cfg.output_depth
     if max_steps is None:
@@ -71,7 +80,11 @@ def beam_search(
     if eos_id.ndim == 0:
         eos_id = jnp.broadcast_to(eos_id, (b,))
 
-    enc_mask = (jnp.arange(l_pad)[None, :] < enc_lengths[:, None]).astype(dtype)
+    if axis_name is None:
+        pos = jnp.arange(l_pad)
+    else:
+        pos = l_pad * jax.lax.axis_index(axis_name) + jnp.arange(l_pad)
+    enc_mask = (pos[None, :] < enc_lengths[:, None]).astype(dtype)
     vh = attention.precompute_vh(params, h)
 
     # Expand encoder tensors over the beam axis once: (B, K, ...).
@@ -89,6 +102,7 @@ def beam_search(
             h_k.reshape(b * k, l_pad, -1),
             mask_k.reshape(b * k, l_pad),
             ramp=None,
+            axis_name=axis_name,
         )
         logp = attention.apply_readout(params, cfg, out["s"], out["c"])
         unflat = jax.tree.map(lambda a: a.reshape((b, k) + a.shape[1:]), new_fs)

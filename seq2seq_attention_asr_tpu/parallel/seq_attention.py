@@ -74,3 +74,56 @@ def sharded_decode_teacher_forced(
         )
 
     return run(params, h, enc_lengths, labels_onehot, dec_mask)
+
+
+def sharded_beam_search(
+    mesh: Mesh,
+    params,
+    cfg: attention.AttentionConfig,
+    h: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    eos_id,
+    k: int = 5,
+    max_steps: Optional[jnp.ndarray] = None,
+    max_steps_cap: Optional[int] = None,
+):
+    """Beam search with h sharded (B/dp, L/sp, A) — SURVEY.md §2.6(d).
+
+    The beam state (hypotheses, scores, finished pool) is replicated
+    over "sp"; only the encoder annotations and the per-hypothesis
+    alignment state stay position-sharded. max_steps defaults to the
+    GLOBAL enc_lengths; max_steps_cap defaults to the global padded L.
+    """
+    from ..decode import beam as beam_lib
+
+    if max_steps is None:
+        max_steps = enc_lengths
+    if max_steps_cap is None:
+        max_steps_cap = h.shape[1]
+    eos = jnp.broadcast_to(jnp.asarray(eos_id), (h.shape[0],))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(DATA_AXIS, SEQ_AXIS, None),  # h
+            P(DATA_AXIS),  # enc_lengths (global values, replicated on sp)
+            P(DATA_AXIS),  # eos
+            P(DATA_AXIS),  # max_steps
+        ),
+        out_specs=beam_lib.BeamResult(
+            tokens=P(DATA_AXIS, None),
+            lengths=P(DATA_AXIS),
+            scores=P(DATA_AXIS),
+        ),
+        check_vma=False,  # replicated top_k decisions are bitwise equal
+    )
+    def run(p, h_loc, lens, eos_loc, msteps):
+        return beam_lib.beam_search(
+            p, cfg, h_loc, lens, eos_loc, k=k,
+            max_steps=msteps, max_steps_cap=max_steps_cap,
+            axis_name=SEQ_AXIS,
+        )
+
+    return run(params, h, enc_lengths, eos, max_steps)

@@ -114,3 +114,42 @@ def test_dp_sp_train_step_runs_and_matches_single(setup):
     nll_b, leaf_b = results["dp1sp1"]
     assert nll_a == pytest.approx(nll_b, rel=1e-5)
     np.testing.assert_allclose(leaf_a, leaf_b, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_beam_matches_unsharded():
+    """Sequence-sharded beam search (SURVEY.md §2.6(d)) must reproduce
+    the single-device result exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seq2seq_attention_asr_tpu.decode import beam as beam_lib
+    from seq2seq_attention_asr_tpu.ops import attention as att
+    from seq2seq_attention_asr_tpu.parallel import make_mesh, seq_attention
+
+    cfg = att.AttentionConfig(
+        score_depth=16, filt_size=5, feature_maps=0, state_depth=16,
+        annotation_depth=24, output_depth=6, cell="gru",
+        mono_align=False, penalty_lambda=0.0,
+        readout=(("linear", 6),),
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    b, l = 4, 16  # l divides sp=2
+    h = jax.random.normal(jax.random.PRNGKey(1), (b, l, 24)) * 0.5
+    lens = jnp.array([16, 9, 12, 5])
+    h = h * (jnp.arange(l)[None, :, None] < lens[:, None, None])
+
+    want = beam_lib.beam_search(
+        params, cfg, h, lens, eos_id=2, k=3,
+        max_steps=lens, max_steps_cap=l,
+    )
+    mesh = make_mesh(dp=2, sp=2, devices=jax.devices()[:4])
+    got = seq_attention.sharded_beam_search(
+        mesh, params, cfg, h, lens, eos_id=2, k=3,
+        max_steps=lens, max_steps_cap=l,
+    )
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(want.lengths))
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=1e-5, atol=1e-6
+    )
