@@ -291,3 +291,22 @@ def logmel_jax(
 def frames_for_samples(n_samples: int, n_fft: int = N_FFT, hop: int = HOP) -> int:
     """Number of centered-STFT frames for an n_samples signal."""
     return 1 + n_samples // hop
+
+
+def pca_fit(train_feats, n_components: int):
+    """Fit PCA on stacked train frames (reference preprocess_timit.py:
+    316-333 uses sklearn PCA; this is the plain SVD equivalent).
+
+    Returns (components (D, n), mean (D,)).
+    """
+    frames = np.concatenate([np.asarray(f) for f in train_feats], axis=0)
+    mu = frames.mean(axis=0)
+    centered = frames - mu
+    # economy SVD of (N, D): right singular vectors are the components
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    return vt[:n_components].T.astype(np.float32), mu.astype(np.float32)
+
+
+def pca_apply(feats, components: np.ndarray, mean: np.ndarray):
+    """Project each (L, D) utterance onto the fitted components."""
+    return [((np.asarray(f) - mean) @ components).astype(np.float32) for f in feats]

@@ -212,11 +212,14 @@ def build_datasets(
     feature_fn: Callable[[np.ndarray, int], np.ndarray] = features.logmel_np,
     pad: int = 10,
     max_utts: Optional[int] = None,
+    pca_components: Optional[int] = None,
 ) -> Tuple[Dataset, Dataset, Dataset, Vocab, np.ndarray, np.ndarray]:
     """Full offline pipeline: walk -> features -> normalize -> datasets.
 
     Returns (train, valid, test, vocab, mean, std). `max_utts` truncates
     each split for smoke tests (the reference's --script_test idea).
+    `pca_components` optionally projects frames onto train-set principal
+    components after normalization (preprocess_timit.py:316-333).
     """
     vocab = vocab or Vocab.standard()
     train_u, valid_u = split_train_valid(walk_corpus(root, "TRAIN"))
@@ -235,6 +238,11 @@ def build_datasets(
 
     ftr, fva, fte = extract(train_u), extract(valid_u), extract(test_u)
     ftr, fva, fte, mean, std = features.normalize_corpus(ftr, fva, fte, pad=pad)
+    if pca_components:
+        comps, mu = features.pca_fit(ftr, pca_components)
+        ftr = features.pca_apply(ftr, comps, mu)
+        fva = features.pca_apply(fva, comps, mu)
+        fte = features.pca_apply(fte, comps, mu)
 
     def mk(us, fs):
         return Dataset(

@@ -30,6 +30,11 @@ def _pallas_available(batch: int, hidden: int) -> bool:
     return _gs.supported(batch, hidden)
 
 
+def _pallas_interpret() -> bool:
+    """Forced-pallas runs off-TPU (tests) use Pallas interpret mode."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def gru_layer(
     params: Params,
     x: jnp.ndarray,
@@ -70,7 +75,8 @@ def gru_layer(
         # gru_step_preproj expects xproj blocks (xz|xr|xh) matching the
         # fused kernel layout; recurrent halves of the stored kernels.
         ys = _gs.gru_scan(
-            xproj, h0, params["w_zr"][:h_dim], params["w_h"][:h_dim]
+            xproj, h0, params["w_zr"][:h_dim], params["w_h"][:h_dim],
+            _pallas_interpret(),
         )
     else:
         def step(h, xp_t):
@@ -137,8 +143,42 @@ def bigru_layer(
     """Bidirectional GRU: concat(fwd, bwd) along features (B, L, 2H).
 
     Mirrors the fRNN/bRNN + JoinTable pairs of the Chorowski encoder
-    (reference timit/model_chorowski_baseline.lua:22-34).
+    (reference timit/model_chorowski_baseline.lua:22-34). On TPU the
+    two directions run in ONE fused Pallas scan (L sequential grid
+    steps instead of 2L — the directions are independent, so their
+    per-step matmuls pipeline inside one iteration).
     """
+    h_dim = params["fwd"]["w_zr"].shape[1] // 2
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and _pallas_available(x.shape[0], h_dim)
+    )
+    if use_pallas:
+        from .pallas import gru_scan as _gs
+
+        if lengths is not None:
+            xb = flip_sequences(x, lengths)
+        else:
+            xb = x[:, ::-1]
+        xproj2 = jnp.stack(
+            [
+                cells.gru_input_proj(params["fwd"], x),
+                cells.gru_input_proj(params["bwd"], xb),
+            ]
+        )
+        h02 = jnp.zeros((2, x.shape[0], h_dim), jnp.float32)
+        wzr2 = jnp.stack(
+            [params["fwd"]["w_zr"][:h_dim], params["bwd"]["w_zr"][:h_dim]]
+        )
+        wh2 = jnp.stack(
+            [params["fwd"]["w_h"][:h_dim], params["bwd"]["w_h"][:h_dim]]
+        )
+        ys2 = _gs.bigru_scan(xproj2, h02, wzr2, wh2, _pallas_interpret())
+        fwd, bwd = ys2[0], ys2[1]
+        if lengths is not None:
+            bwd = flip_sequences(bwd, lengths)
+        else:
+            bwd = bwd[:, ::-1]
+        return jnp.concatenate([fwd, bwd], axis=-1)
     fwd = gru_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll, backend=backend)
     bwd = gru_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll, backend=backend)
     return jnp.concatenate([fwd, bwd], axis=-1)
@@ -155,8 +195,48 @@ def bilstm_init(
 
 
 def bilstm_layer(
-    params: Params, x: jnp.ndarray, lengths: jnp.ndarray | None = None, unroll: int = 1
+    params: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+    unroll: int = 1,
+    backend: str = "auto",
 ) -> jnp.ndarray:
+    """Bidirectional LSTM: concat(fwd, bwd) (B, L, 2H). On TPU both
+    directions run in one fused Pallas scan (ops/pallas/lstm_scan.py)
+    when the cell has no peepholes and shapes are tile-friendly."""
+    h_dim = params["fwd"]["w_h"].shape[0]
+    no_peep = "w_peep" not in params["fwd"]
+    use_pallas = no_peep and (
+        backend == "pallas"
+        or (
+            backend == "auto"
+            and jax.default_backend() in ("tpu", "axon")
+            and x.shape[0] % 8 == 0
+            and h_dim % 128 == 0
+        )
+    )
+    if use_pallas:
+        from .pallas import lstm_scan as _ls
+
+        if lengths is not None:
+            xb = flip_sequences(x, lengths)
+        else:
+            xb = x[:, ::-1]
+        xproj2 = jnp.stack(
+            [
+                cells.lstm_input_proj(params["fwd"], x),
+                cells.lstm_input_proj(params["bwd"], xb),
+            ]
+        )
+        z2 = jnp.zeros((2, x.shape[0], h_dim), jnp.float32)
+        wh2 = jnp.stack([params["fwd"]["w_h"], params["bwd"]["w_h"]])
+        ys2 = _ls.bilstm_scan(xproj2, z2, z2, wh2, _pallas_interpret())
+        fwd, bwd = ys2[0], ys2[1]
+        if lengths is not None:
+            bwd = flip_sequences(bwd, lengths)
+        else:
+            bwd = bwd[:, ::-1]
+        return jnp.concatenate([fwd, bwd], axis=-1)
     fwd = lstm_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll)
     bwd = lstm_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll)
     return jnp.concatenate([fwd, bwd], axis=-1)

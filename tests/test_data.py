@@ -178,3 +178,27 @@ def test_wav_readers(tmp_path):
     y2, sr2 = audio.read_audio(p2)
     assert sr2 == sr
     np.testing.assert_allclose(y2, pcm / 32768.0, atol=1e-9)
+
+
+def test_pca_fit_apply():
+    """PCA projection (preprocess_timit.py:316-333 parity): orthonormal
+    components, variance ordering, exact reconstruction at full rank."""
+    import numpy as np
+
+    from seq2seq_attention_asr_tpu.data import features
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(200, 4) @ np.diag([5.0, 2.0, 0.5, 0.1])
+    feats = [base[:100], base[100:]]
+    comps, mu = features.pca_fit(feats, 2)
+    assert comps.shape == (4, 2)
+    np.testing.assert_allclose(comps.T @ comps, np.eye(2), atol=1e-5)
+    out = features.pca_apply(feats, comps, mu)
+    assert out[0].shape == (100, 2)
+    v = np.concatenate(out).var(axis=0)
+    assert v[0] > v[1]
+    # full rank round-trips
+    comps4, mu4 = features.pca_fit(feats, 4)
+    proj = features.pca_apply(feats, comps4, mu4)
+    rec = proj[0] @ comps4.T + mu4
+    np.testing.assert_allclose(rec, feats[0], atol=1e-4)

@@ -1,6 +1,7 @@
 """Pallas kernels vs their XLA reference implementations (interpret
 mode on CPU; the same kernels compile for TPU)."""
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,3 +71,159 @@ def test_supported_gate():
     assert gs.supported(32, 256)
     assert not gs.supported(32, 200)
     assert not gs.supported(3, 256)
+
+
+def _bi_stack(shapes):
+    xproj, h0, w_zr_h, w_h_h = shapes
+    k = jax.random.PRNGKey(42)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    xproj2 = jnp.stack([xproj, jax.random.normal(k1, xproj.shape) * 0.5])
+    h02 = jnp.stack([h0, jax.random.normal(k2, h0.shape) * 0.5])
+    wzr2 = jnp.stack([w_zr_h, jax.random.normal(k3, w_zr_h.shape) * 0.1])
+    wh2 = jnp.stack([w_h_h, jax.random.normal(k4, w_h_h.shape) * 0.1])
+    return xproj2, h02, wzr2, wh2
+
+
+def test_bigru_scan_forward_matches_xla(shapes):
+    xproj2, h02, wzr2, wh2 = _bi_stack(shapes)
+    got = gs.bigru_scan(xproj2, h02, wzr2, wh2, True)
+    for d in range(2):
+        want = _ref_scan(xproj2[d], h02[d], wzr2[d], wh2[d])
+        np.testing.assert_allclose(
+            np.asarray(got[d]), np.asarray(want), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_bigru_scan_grads_match_xla(shapes):
+    args = _bi_stack(shapes)
+    co = jax.random.normal(jax.random.PRNGKey(9), (2,) + _ref_scan(*shapes).shape)
+
+    def loss_ref(xproj2, h02, wzr2, wh2):
+        tot = 0.0
+        for d in range(2):
+            tot += jnp.sum(_ref_scan(xproj2[d], h02[d], wzr2[d], wh2[d]) * co[d])
+        return tot
+
+    def loss_pl(*a):
+        return jnp.sum(gs.bigru_scan(*a, True) * co)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_ref, g_pl):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_bigru_layer_pallas_matches_xla_backend():
+    """bigru_layer(backend='pallas', interpret via CPU) == backend='xla',
+    including the length-flip handling for the reverse direction."""
+    from seq2seq_attention_asr_tpu.ops import rnn
+
+    key = jax.random.PRNGKey(3)
+    params = rnn.bigru_init(key, 16, 128)
+    x = jax.random.normal(jax.random.PRNGKey(4), (8, 6, 16))
+    lengths = jnp.array([6, 4, 3, 6, 5, 2, 6, 1])
+    want = rnn.bigru_layer(params, x, lengths, backend="xla")
+    got = rnn.bigru_layer(params, x, lengths, backend="pallas")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused attention-decoder scan
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def attn_setup():
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=128, filt_size=5, feature_maps=0, state_depth=128,
+        annotation_depth=256, output_depth=11, cell="gru",
+        mono_align=True, penalty_lambda=0.0,
+        readout=(("maxout", 16, 3), ("linear", 11)),
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    b, l, t = 8, 12, 7
+    key = jax.random.PRNGKey(1)
+    h = jax.random.normal(key, (b, l, cfg.annotation_depth)) * 0.5
+    enc_len = jnp.array([12, 9, 7, 12, 3, 11, 12, 5])
+    y = jax.random.randint(jax.random.PRNGKey(2), (b, t), 0, 11)
+    oh = jax.nn.one_hot(y, 11)
+    dm = (jnp.arange(t)[None, :] < jnp.array([7, 5, 7, 2, 7, 6, 4, 7])[:, None]).astype(jnp.float32)
+    return att, cfg, params, h, enc_len, oh, dm
+
+
+def test_attention_scan_forward_matches_xla(attn_setup):
+    att, cfg, params, h, enc_len, oh, dm = attn_setup
+    want = att.decode_teacher_forced(params, cfg, h, enc_len, oh, dm, backend="xla")
+    got = att.decode_teacher_forced(params, cfg, h, enc_len, oh, dm, backend="pallas")
+    for k in ("logprobs", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-4, atol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_attention_scan_grads_match_xla(attn_setup):
+    att, cfg, params, h, enc_len, oh, dm = attn_setup
+
+    def loss(backend, params, h):
+        out = att.decode_teacher_forced(
+            params, cfg, h, enc_len, oh, dm, backend=backend
+        )
+        nll = -jnp.sum(oh * out["logprobs"] * dm[..., None])
+        # touch alpha too so its cotangent path is exercised
+        return nll + 0.1 * jnp.sum(out["alpha"] ** 2)
+
+    g_ref = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(params, h)
+    g_pl = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(params, h)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_pl = jax.tree.leaves(g_pl)
+    assert len(flat_ref) == len(flat_pl)
+    for a, b in zip(flat_ref, flat_pl):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+
+
+# ---------------------------------------------------------------------------
+# Fused bidirectional LSTM scan
+# ---------------------------------------------------------------------------
+
+
+def test_bilstm_layer_pallas_matches_xla_backend():
+    from seq2seq_attention_asr_tpu.ops import rnn
+
+    key = jax.random.PRNGKey(5)
+    params = rnn.bilstm_init(key, 16, 128)
+    x = jax.random.normal(jax.random.PRNGKey(6), (8, 6, 16))
+    lengths = jnp.array([6, 4, 3, 6, 5, 2, 6, 1])
+    want = rnn.bilstm_layer(params, x, lengths, backend="xla")
+    got = rnn.bilstm_layer(params, x, lengths, backend="pallas")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_bilstm_scan_grads_match_xla():
+    from seq2seq_attention_asr_tpu.ops import rnn
+
+    key = jax.random.PRNGKey(7)
+    params = rnn.bilstm_init(key, 16, 128)
+    x = jax.random.normal(jax.random.PRNGKey(8), (8, 6, 16))
+    lengths = jnp.array([6, 4, 3, 6, 5, 2, 6, 1])
+    co = jax.random.normal(jax.random.PRNGKey(9), (8, 6, 256))
+
+    def loss(backend, p, xx):
+        return jnp.sum(rnn.bilstm_layer(p, xx, lengths, backend=backend) * co)
+
+    g_ref = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(params, x)
+    g_pl = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
+        )

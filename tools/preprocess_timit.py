@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--pad", type=int, default=10)
     ap.add_argument("--max-utts", type=int, default=None,
                     help="truncate each split (smoke tests)")
+    ap.add_argument("--pca", type=int, default=None,
+                    help="project frames onto N train-set principal "
+                         "components (preprocess_timit.py:316-333)")
     args = ap.parse_args()
 
     fn = {
@@ -41,7 +44,8 @@ def main():
     }[args.variant]
 
     train, valid, test, vocab, mean, std = timit.build_datasets(
-        args.root, feature_fn=fn, pad=args.pad, max_utts=args.max_utts
+        args.root, feature_fn=fn, pad=args.pad, max_utts=args.max_utts,
+        pca_components=args.pca,
     )
     outdir = os.path.join(args.out, args.variant)
     os.makedirs(outdir, exist_ok=True)
