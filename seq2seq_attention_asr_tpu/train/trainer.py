@@ -54,6 +54,7 @@ class TrainConfig:
     beam_k: int = 5  # opt.K
     max_samples: Optional[int] = None  # opt.maxnumsamples
     eval_len_factor: float = 1.0  # beam maxseqlen = factor * L (2.0 for librispeech)
+    dump_attention: bool = False  # per-epoch alpha/Ws/Vh dump (timit.lua:540-550)
     seed: int = 1
 
 
@@ -386,9 +387,13 @@ class Trainer:
         nll = correct = total = n = 0.0
         dists, tlens = [], []
         t0 = time.time()
+        first = True
         for batch in batcher.batches(
             ds, shuffle=False, max_samples=self.tcfg.max_samples
         ):
+            if first:
+                first = False
+                self._maybe_dump_attention(params, batch)
             arrs = self._batch_arrays(batch)
             m = self.eval_fn(params, arrs)
             nll += float(m["nll"])
@@ -425,6 +430,26 @@ class Trainer:
         if decode and dists:
             out["valid_per"] = float(np.mean(dists))
         return out
+
+    def _maybe_dump_attention(self, params, batch):
+        """Per-epoch attention introspection dump — parity with the
+        reference's HDF5 log of alpha maps and the Ws/Vh projections
+        (updateLog, timit.lua:540-550; graph introspection
+        Attention.lua:214-250). Writes attn_epoch{N}.npz with the first
+        valid batch's alpha (B, T, L) plus the score-projection weights."""
+        if not (self.tcfg.dump_attention and self.save_dir):
+            return
+        x, x_len, y, dec_mask = self._batch_arrays(batch)
+        onehot = _one_hot_labels(y, dec_mask, self.model.output_depth)
+        out = self.model.forward(params, x, x_len, onehot, dec_mask, train=False)
+        dec = params["decoder"]
+        np.savez(
+            os.path.join(self.save_dir, f"attn_epoch{self.epoch + 1}.npz"),
+            alpha=np.asarray(out["alpha"]),
+            uids=np.asarray(batch.uids),
+            ws=np.asarray(dec["ws"]["w"]),
+            vh=np.asarray(dec["v"]),
+        )
 
     # -- full fit -----------------------------------------------------------
 
