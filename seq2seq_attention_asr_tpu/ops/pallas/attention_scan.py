@@ -1,0 +1,553 @@
+"""Fused attention-decoder scan — the decoder's hot kernel.
+
+The teacher-forced decoder (ops/attention.py decode_teacher_forced,
+re-design of reference Attention.lua:305-322 + RNNAttention.lua:144-185)
+is a T-step sequential scan where every step reads the full projected
+annotations Vh (B, L, S) and annotations h (B, L, A) from HBM to compute
+
+    e   = w_e . tanh(Vh + Ws s_prev)        (B, L)
+    alpha = masked_softmax(e)               (B, L)
+    c   = alpha^T h                         (B, A)
+    r   = W_dec [W_c c + b_c ; yin_t] + b_dec
+    s   = GRU(r, s_prev)
+
+Under lax.scan that is ~(|Vh| + |h|) bytes of HBM traffic PER STEP
+(~19 MB at the TIMIT recipe shape) — the decoder is bandwidth-bound.
+This kernel runs the whole scan with Vh/h RESIDENT IN VMEM for a block
+of the batch: grid (B/BB, T) with t innermost, so the (BB, L, .) blocks
+are fetched once per batch block and every step's traffic is just the
+small per-step inputs/outputs.
+
+Scope: feature_maps == 0 (the flagship exp_logmel7_chorowski recipe,
+hybridAttendFeatureMaps defaults to 0 in timit/model_chorowski_baseline
+.lua) and GRU decoder cell with mem passthrough; the XLA scan path
+remains for location-aware attention and LSTM cells.
+
+The backward pass is a second Pallas kernel scanning t reversed that
+recomputes the step (tanh energies, gates) from the saved (alpha, s, c)
+sequences — no (B, T, L, S) activation stash — and accumulates dVh/dh
+per batch block and weight grads across the whole grid in resident
+output blocks, exposed via `jax.custom_vjp`.
+
+Weight layout note: biases are passed 2D (1, X) so they tile cleanly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # matches ops/masking.py
+
+
+def _step_core(vh, h, mask, yin_t, s_prev, w):
+    """Shared forward math for one decoder step on a (BB, ...) block.
+
+    Returns (alpha, c, s_new, a) where a = tanh(z) is kept for reuse.
+    """
+    st = w["dec_w"].shape[1]
+    ws = jnp.dot(s_prev, w["ws_w"], preferred_element_type=jnp.float32) + w["ws_b"]
+    z = vh + ws[:, None, :]
+    a = jnp.tanh(z)
+    e = jnp.sum(a * w["w_e"][0][None, None, :], axis=-1)  # (BB, L)
+    e = jnp.where(mask > 0, e, NEG_INF)
+    m = jnp.max(e, axis=-1, keepdims=True)
+    p = jnp.exp(e - m) * (mask > 0)
+    alpha = p / jnp.sum(p, axis=-1, keepdims=True)
+    c = jnp.sum(alpha[:, :, None] * h, axis=1)  # (BB, A)
+    cc = jnp.dot(c, w["c_w"], preferred_element_type=jnp.float32) + w["c_b"]
+    rr = jnp.concatenate([cc, yin_t], axis=-1)
+    r = jnp.dot(rr, w["dec_w"], preferred_element_type=jnp.float32) + w["dec_b"]
+    # GRU cell on concat(s_prev, r) (cells.gru_step layout)
+    sr = jnp.concatenate([s_prev, r], axis=-1)
+    zr = jax.nn.sigmoid(
+        jnp.dot(sr, w["gru_wzr"], preferred_element_type=jnp.float32)
+    )
+    zg, rg = zr[:, :st], zr[:, st:]
+    cand = jnp.tanh(
+        jnp.dot(
+            jnp.concatenate([rg * s_prev, r], axis=-1),
+            w["gru_wh"],
+            preferred_element_type=jnp.float32,
+        )
+    )
+    s_new = (1.0 - zg) * s_prev + zg * cand
+    return alpha, c, s_new, a
+
+
+def _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh):
+    return {
+        "ws_w": ws_w[:], "ws_b": ws_b[:], "w_e": w_e[:],
+        "c_w": c_w[:], "c_b": c_b[:], "dec_w": dec_w[:], "dec_b": dec_b[:],
+        "gru_wzr": gru_wzr[:], "gru_wh": gru_wh[:],
+    }
+
+
+def _fwd_kernel(
+    vh_ref, h_ref, mask_ref, yin_ref,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    s_out, c_out, alpha_out,
+    s_scr,
+):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    alpha, c, s_new, _ = _step_core(
+        vh_ref[:], h_ref[:], mask_ref[:], yin_ref[0], s_scr[:], w
+    )
+    s_scr[:] = s_new
+    s_out[0] = s_new
+    c_out[0] = c
+    alpha_out[0] = alpha
+
+
+def _run_fwd(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    block_b, interpret,
+):
+    b, l, s_dim = vh.shape
+    a_dim = h.shape[2]
+    t_len = yin.shape[1]
+    st = dec_w.shape[1]
+    bb = min(block_b, b)
+    assert b % bb == 0, (b, bb)
+    nb = b // bb
+    c2 = lambda i, t: (0, 0)
+    # Per-step (T, B, X) arrays are TIME-MAJOR so their blocks are
+    # (1, bb, X) — the TPU tiling wants the last two dims (sublane,
+    # lane) aligned, so time must be the leading (blocked) axis.
+    yin_t = jnp.swapaxes(yin, 0, 1)  # (T, B, St)
+    s_seq, c_seq, alpha_seq = pl.pallas_call(
+        _fwd_kernel,
+        grid=(nb, t_len),
+        in_specs=[
+            pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ws_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ws_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_e.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dec_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dec_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(gru_wzr.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(gru_wh.shape, c2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, a_dim), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, l), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b, st), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, a_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, l), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bb, st), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_len * l * (s_dim + a_dim),
+            bytes_accessed=4 * (b * l * (s_dim + a_dim) + b * t_len * (st + a_dim + l)),
+            transcendentals=b * t_len * l * s_dim,
+        ),
+    )(vh, h, enc_mask, yin_t, ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    sw = lambda a: jnp.swapaxes(a, 0, 1)
+    return sw(s_seq), sw(c_seq), sw(alpha_seq)
+
+
+def _bwd_kernel(
+    vh_ref, h_ref, mask_ref, yin_ref,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    sprev_ref, c_ref, ds_ref, dc_ref, dalpha_ref,
+    dvh_ref, dh_ref, dyin_ref,
+    dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dgru_wzr, dgru_wh,
+    ds_scr,
+):
+    """Grid (nb, T), t counts 0..T-1 but blocks map to step T-1-t."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    n = pl.num_programs(1)
+    st = dec_w.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        ds_scr[:] = jnp.zeros_like(ds_scr)
+        dvh_ref[:] = jnp.zeros_like(dvh_ref)
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _():
+        dws_w[:] = jnp.zeros_like(dws_w)
+        dws_b[:] = jnp.zeros_like(dws_b)
+        dw_e[:] = jnp.zeros_like(dw_e)
+        dc_w[:] = jnp.zeros_like(dc_w)
+        dc_b[:] = jnp.zeros_like(dc_b)
+        ddec_w[:] = jnp.zeros_like(ddec_w)
+        ddec_b[:] = jnp.zeros_like(ddec_b)
+        dgru_wzr[:] = jnp.zeros_like(dgru_wzr)
+        dgru_wh[:] = jnp.zeros_like(dgru_wh)
+
+    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    vh = vh_ref[:]
+    h = h_ref[:]
+    mask = mask_ref[:]
+    yin_t = yin_ref[0]
+    # s_prev: the saved s sequence shifted by one; the (clamped) block
+    # at step 0 is garbage and replaced by the zero initial state.
+    rev_is_first = t == n - 1  # reversed-time step 0
+    s_prev = jnp.where(rev_is_first, 0.0, sprev_ref[0])
+    c_saved = c_ref[0]
+
+    # --- recompute the step ---
+    ws = jnp.dot(s_prev, w["ws_w"], preferred_element_type=jnp.float32) + w["ws_b"]
+    z = vh + ws[:, None, :]
+    a = jnp.tanh(z)
+    e = jnp.sum(a * w["w_e"][0][None, None, :], axis=-1)
+    e = jnp.where(mask > 0, e, NEG_INF)
+    m = jnp.max(e, axis=-1, keepdims=True)
+    p = jnp.exp(e - m) * (mask > 0)
+    alpha = p / jnp.sum(p, axis=-1, keepdims=True)
+    cc = jnp.dot(c_saved, w["c_w"], preferred_element_type=jnp.float32) + w["c_b"]
+    rr = jnp.concatenate([cc, yin_t], axis=-1)
+    r = jnp.dot(rr, w["dec_w"], preferred_element_type=jnp.float32) + w["dec_b"]
+    sr = jnp.concatenate([s_prev, r], axis=-1)
+    zr = jax.nn.sigmoid(
+        jnp.dot(sr, w["gru_wzr"], preferred_element_type=jnp.float32)
+    )
+    zg, rg = zr[:, :st], zr[:, st:]
+    rgs = rg * s_prev
+    cand_in = jnp.concatenate([rgs, r], axis=-1)
+    cand = jnp.tanh(
+        jnp.dot(cand_in, w["gru_wh"], preferred_element_type=jnp.float32)
+    )
+
+    # --- backward through the GRU ---
+    ds = ds_ref[0] + ds_scr[:]
+    dzg = ds * (cand - s_prev)
+    dcand = ds * zg
+    da_cand = dcand * (1.0 - cand * cand)
+    dcand_in = jnp.dot(da_cand, w["gru_wh"].T, preferred_element_type=jnp.float32)
+    drgs = dcand_in[:, :st]
+    dr = dcand_in[:, st:]
+    drg = drgs * s_prev
+    da_z = dzg * zg * (1.0 - zg)
+    da_r = drg * rg * (1.0 - rg)
+    da_zr = jnp.concatenate([da_z, da_r], axis=-1)
+    dsr = jnp.dot(da_zr, w["gru_wzr"].T, preferred_element_type=jnp.float32)
+    ds_prev = dsr[:, :st] + drgs * rg + ds * (1.0 - zg)
+    dr = dr + dsr[:, st:]
+    dgru_wh[:] += jnp.dot(cand_in.T, da_cand, preferred_element_type=jnp.float32)
+    dgru_wzr[:] += jnp.dot(sr.T, da_zr, preferred_element_type=jnp.float32)
+
+    # --- backward through the decoder-input MLP ---
+    drr = jnp.dot(dr, w["dec_w"].T, preferred_element_type=jnp.float32)
+    ddec_w[:] += jnp.dot(rr.T, dr, preferred_element_type=jnp.float32)
+    ddec_b[:] += jnp.sum(dr, axis=0, keepdims=True)
+    dcc = drr[:, :st]
+    dyin_ref[0] = drr[:, st:]
+    dc = jnp.dot(dcc, w["c_w"].T, preferred_element_type=jnp.float32)
+    dc_w[:] += jnp.dot(c_saved.T, dcc, preferred_element_type=jnp.float32)
+    dc_b[:] += jnp.sum(dcc, axis=0, keepdims=True)
+    dc = dc + dc_ref[0]
+
+    # --- backward through the context ---
+    dalpha = jnp.sum(dc[:, None, :] * h, axis=-1) + dalpha_ref[0]
+    dh_ref[:] += alpha[:, :, None] * dc[:, None, :]
+
+    # --- backward through the masked softmax ---
+    de = alpha * (dalpha - jnp.sum(dalpha * alpha, axis=-1, keepdims=True))
+
+    # --- backward through the energies ---
+    da = de[:, :, None] * w["w_e"][0][None, None, :]
+    dw_e[:] += jnp.sum(a * de[:, :, None], axis=(0, 1))[None, :]
+    dz = da * (1.0 - a * a)
+    dvh_ref[:] += dz
+    dws = jnp.sum(dz, axis=1)  # (BB, S)
+    ds_prev = ds_prev + jnp.dot(
+        dws, w["ws_w"].T, preferred_element_type=jnp.float32
+    )
+    dws_w[:] += jnp.dot(s_prev.T, dws, preferred_element_type=jnp.float32)
+    dws_b[:] += jnp.sum(dws, axis=0, keepdims=True)
+
+    ds_scr[:] = ds_prev
+
+
+def _run_bwd(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    s_seq, c_seq, ds_seq, dc_seq, dalpha_seq,
+    block_b, interpret,
+):
+    b, l, s_dim = vh.shape
+    a_dim = h.shape[2]
+    t_len = yin.shape[1]
+    st = dec_w.shape[1]
+    bb = min(block_b, b)
+    nb = b // bb
+    c2 = lambda i, t: (0, 0)
+    rev = lambda i, t: (t_len - 1 - t, i, 0)
+    # s_prev at reversed step t is s_seq[T-2-t]; clamp at the last
+    # reversed step (true step 0) — the kernel replaces it with zeros.
+    prev = lambda i, t: (jnp.maximum(t_len - 2 - t, 0), i, 0)
+    sw = lambda a: jnp.swapaxes(a, 0, 1)  # (T, B, X) time-major
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=(nb, t_len),
+        in_specs=[
+            pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, st), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ws_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ws_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_e.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dec_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dec_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(gru_wzr.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(gru_wh.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, st), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, a_dim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, st), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, a_dim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, l), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, st), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ws_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ws_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_e.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dec_w.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dec_b.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(gru_wzr.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(gru_wh.shape, c2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(vh.shape, jnp.float32),
+            jax.ShapeDtypeStruct(h.shape, jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, st), jnp.float32),
+            jax.ShapeDtypeStruct(ws_w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ws_b.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w_e.shape, jnp.float32),
+            jax.ShapeDtypeStruct(c_w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(c_b.shape, jnp.float32),
+            jax.ShapeDtypeStruct(dec_w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(dec_b.shape, jnp.float32),
+            jax.ShapeDtypeStruct(gru_wzr.shape, jnp.float32),
+            jax.ShapeDtypeStruct(gru_wh.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bb, st), jnp.float32)],
+        interpret=interpret,
+    )(
+        vh, h, enc_mask, sw(yin),
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        sw(s_seq), sw(c_seq), sw(ds_seq), sw(dc_seq), sw(dalpha_seq),
+    )
+    outs = list(outs)
+    outs[2] = jnp.swapaxes(outs[2], 0, 1)  # dyin back to (B, T, St)
+    return tuple(outs)
+
+
+def _run_bwd_xla(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    s_seq, c_seq, ds_seq, dc_seq, dalpha_seq,
+):
+    """Reverse-scan backward in plain XLA — same math as _bwd_kernel.
+
+    Used while the Pallas backward is gated off (and as a correctness
+    cross-check for it): the forward still runs as the fused kernel, so
+    the XLA fwd pass is never re-executed; this pass recomputes each
+    step's gates from the saved (s, c) sequences exactly like the
+    kernel does.
+    """
+    st = dec_w.shape[1]
+    b = vh.shape[0]
+    mask_pos = enc_mask > 0
+    s_prevs = jnp.concatenate(
+        [jnp.zeros_like(s_seq[:, :1]), s_seq[:, :-1]], axis=1
+    )
+
+    def step(carry, xs):
+        ds_carry, dvh, dh, dW = carry
+        s_prev, c_saved, yin_t, ds_t, dc_t, dalpha_t = xs
+        ws = s_prev @ ws_w + ws_b
+        z = vh + ws[:, None, :]
+        a = jnp.tanh(z)
+        e = jnp.sum(a * w_e[0][None, None, :], axis=-1)
+        e = jnp.where(mask_pos, e, NEG_INF)
+        m = jnp.max(e, axis=-1, keepdims=True)
+        p = jnp.exp(e - m) * mask_pos
+        alpha = p / jnp.sum(p, axis=-1, keepdims=True)
+        cc = c_saved @ c_w + c_b
+        rr = jnp.concatenate([cc, yin_t], axis=-1)
+        r = rr @ dec_w + dec_b
+        sr = jnp.concatenate([s_prev, r], axis=-1)
+        zr = jax.nn.sigmoid(sr @ gru_wzr)
+        zg, rg = zr[:, :st], zr[:, st:]
+        rgs = rg * s_prev
+        cand_in = jnp.concatenate([rgs, r], axis=-1)
+        cand = jnp.tanh(cand_in @ gru_wh)
+
+        ds = ds_t + ds_carry
+        dzg = ds * (cand - s_prev)
+        dcand = ds * zg
+        da_cand = dcand * (1.0 - cand * cand)
+        dcand_in = da_cand @ gru_wh.T
+        drgs = dcand_in[:, :st]
+        dr = dcand_in[:, st:]
+        drg = drgs * s_prev
+        da_z = dzg * zg * (1.0 - zg)
+        da_r = drg * rg * (1.0 - rg)
+        da_zr = jnp.concatenate([da_z, da_r], axis=-1)
+        dsr = da_zr @ gru_wzr.T
+        ds_prev = dsr[:, :st] + drgs * rg + ds * (1.0 - zg)
+        dr = dr + dsr[:, st:]
+
+        drr = dr @ dec_w.T
+        dcc = drr[:, :st]
+        dyin_t = drr[:, st:]
+        dc = dcc @ c_w.T + dc_t
+
+        dalpha = jnp.sum(dc[:, None, :] * h, axis=-1) + dalpha_t
+        dh_step = alpha[:, :, None] * dc[:, None, :]
+        de = alpha * (dalpha - jnp.sum(dalpha * alpha, axis=-1, keepdims=True))
+        da = de[:, :, None] * w_e[0][None, None, :]
+        dz = da * (1.0 - a * a)
+        dws = jnp.sum(dz, axis=1)
+        ds_prev = ds_prev + dws @ ws_w.T
+
+        dW_step = (
+            s_prev.T @ dws,                              # dws_w
+            jnp.sum(dws, axis=0, keepdims=True),         # dws_b
+            jnp.sum(a * de[:, :, None], axis=(0, 1))[None, :],  # dw_e
+            c_saved.T @ dcc,                             # dc_w
+            jnp.sum(dcc, axis=0, keepdims=True),         # dc_b
+            rr.T @ dr,                                   # ddec_w
+            jnp.sum(dr, axis=0, keepdims=True),          # ddec_b
+            sr.T @ da_zr,                                # dgru_wzr
+            cand_in.T @ da_cand,                         # dgru_wh
+        )
+        dW = jax.tree.map(jnp.add, dW, dW_step)
+        return (ds_prev, dvh + dz, dh + dh_step, dW), dyin_t
+
+    dW0 = (
+        jnp.zeros_like(ws_w), jnp.zeros_like(ws_b), jnp.zeros_like(w_e),
+        jnp.zeros_like(c_w), jnp.zeros_like(c_b),
+        jnp.zeros_like(dec_w), jnp.zeros_like(dec_b),
+        jnp.zeros_like(gru_wzr), jnp.zeros_like(gru_wh),
+    )
+    carry0 = (
+        jnp.zeros((b, st), vh.dtype), jnp.zeros_like(vh), jnp.zeros_like(h), dW0
+    )
+    tm = lambda x: jnp.swapaxes(x, 0, 1)
+    xs = tuple(
+        map(tm, (s_prevs, c_seq, yin, ds_seq, dc_seq, dalpha_seq))
+    )
+    (ds0, dvh, dh, dW), dyin_t = jax.lax.scan(step, carry0, xs, reverse=True)
+    return (dvh, dh, tm(dyin_t)) + dW
+
+
+# Pallas backward is disabled until the Mosaic compile issue on the
+# accumulate-into-revisited-outputs pattern is resolved (the forward
+# kernel is live; backward runs as the XLA reverse scan above).
+USE_PALLAS_BWD = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def attention_decode_scan(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    block_b=8, interpret=False,
+):
+    """Fused teacher-forced attention decoder (feature_maps=0, GRU cell).
+
+    vh: (B, L, S) projected annotations; h: (B, L, A); enc_mask: (B, L);
+    yin: (B, T, St) = y_prev @ W_y + b_y. Biases are 2D (1, X).
+    Returns (s_seq (B,T,St), c_seq (B,T,A), alpha_seq (B,T,L)).
+    """
+    return _run_fwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        block_b, interpret,
+    )
+
+
+def _vjp_fwd(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    block_b, interpret,
+):
+    out = _run_fwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        block_b, interpret,
+    )
+    s_seq, c_seq, alpha_seq = out
+    res = (
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        s_seq, c_seq,
+    )
+    return out, res
+
+
+def _vjp_bwd(block_b, interpret, res, grads):
+    (
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        s_seq, c_seq,
+    ) = res
+    ds_seq, dc_seq, dalpha_seq = grads
+    if USE_PALLAS_BWD or interpret:
+        outs = _run_bwd(
+            vh, h, enc_mask, yin,
+            ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+            s_seq, c_seq, ds_seq, dc_seq, dalpha_seq,
+            block_b, interpret,
+        )
+    else:
+        outs = _run_bwd_xla(
+            vh, h, enc_mask, yin,
+            ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+            s_seq, c_seq, ds_seq, dc_seq, dalpha_seq,
+        )
+    (dvh, dh, dyin, dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b,
+     dgru_wzr, dgru_wh) = outs
+    dmask = jnp.zeros_like(enc_mask)
+    return (
+        dvh, dh, dmask, dyin,
+        dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dgru_wzr, dgru_wh,
+    )
+
+
+attention_decode_scan.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def supported(cfg, batch: int, block_b: int = 8) -> bool:
+    """Usable for this config/batch? feature_maps=0, GRU, no penalty
+    ramp (the monotonic penalty is gradient-only and handled by the XLA
+    path), and a batch divisible by the block."""
+    return (
+        cfg.feature_maps == 0
+        and cfg.cell == "gru"
+        and not (cfg.mono_align and cfg.penalty_lambda > 0.0)
+        and batch % min(block_b, batch) == 0
+        and batch >= 8
+    )

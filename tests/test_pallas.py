@@ -227,3 +227,37 @@ def test_bilstm_scan_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
         )
+
+
+def test_attention_scan_bwd_xla_matches_pallas(attn_setup):
+    """The XLA reverse-scan backward (used on TPU while the Pallas
+    backward is gated off) must produce identical grads to the Pallas
+    backward kernel (interpret mode)."""
+    from seq2seq_attention_asr_tpu.ops.pallas import attention_scan as As
+
+    att, cfg, params, h, enc_len, oh, dm = attn_setup
+    b, l, _ = h.shape
+    t = oh.shape[1]
+    vh = h @ params["v"]
+    enc_mask = (jnp.arange(l)[None, :] < enc_len[:, None]).astype(h.dtype)
+    y_prev = jnp.concatenate([jnp.zeros_like(oh[:, :1]), oh[:, :-1]], axis=1)
+    yin = y_prev @ params["y_in"]["w"] + params["y_in"]["b"]
+    args = (
+        vh, h, enc_mask, yin,
+        params["ws"]["w"], params["ws"]["b"][None, :], params["w_e"][None, :],
+        params["c_in"]["w"], params["c_in"]["b"][None, :],
+        params["dec_in"]["w"], params["dec_in"]["b"][None, :],
+        params["cell"]["w_zr"], params["cell"]["w_h"],
+    )
+    s_seq, c_seq, alpha_seq = As._run_fwd(*args, 8, True)
+    key = jax.random.PRNGKey(3)
+    ds = jax.random.normal(key, s_seq.shape)
+    dc = jax.random.normal(key, c_seq.shape)
+    dal = jax.random.normal(key, alpha_seq.shape)
+    pallas_out = As._run_bwd(*args, s_seq, c_seq, ds, dc, dal, 8, True)
+    xla_out = As._run_bwd_xla(*args, s_seq, c_seq, ds, dc, dal)
+    assert len(pallas_out) == len(xla_out)
+    for a, b_ in zip(pallas_out, xla_out):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
