@@ -72,17 +72,20 @@ def main():
     # warmup / compile
     for _ in range(3):
         state, m = step_jit(state, batch)
-        float(m["loss"])
+    float(m["loss"])
 
-    # Force a device->host transfer of the loss every step: on the
-    # tunneled axon platform `jax.block_until_ready` returns before the
-    # computation finishes, under-reporting step time by orders of
-    # magnitude; reading the scalar value cannot lie.
-    n_steps = 20
+    # Timing: steps chain through the donated train state, so the device
+    # must run them sequentially; fetching the FINAL step's loss value
+    # proves the whole chain executed. (On the tunneled axon platform
+    # `jax.block_until_ready` returns before the computation finishes,
+    # so a value read is the only trustworthy sync — but reading it
+    # EVERY step would add a host<->device round trip per step that is
+    # not part of device throughput.)
+    n_steps = 100
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step_jit(state, batch)
-        float(m["loss"])
+    float(m["loss"])
     dt = time.perf_counter() - t0
 
     audio_s_per_batch = b * l * 512.0 / 16000.0

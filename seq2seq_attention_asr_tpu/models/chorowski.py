@@ -46,6 +46,7 @@ class ChorowskiConfig:
     dropout: float = 0.0  # >0 reproduces model_chorowski_baseline_dropout
     scan_unroll: int = 1
     rnn_backend: str = "auto"  # "auto" | "xla" | "pallas" (fused GRU scan)
+    attn_backend: str = "auto"  # "auto" | "xla" | "pallas" (fused decoder scan)
 
     @property
     def annotation_depth(self) -> int:
@@ -122,4 +123,5 @@ def forward(
         dropout_rng=dropout_rng,
         train=train,
         unroll=cfg.scan_unroll,
+        backend=cfg.attn_backend,
     )

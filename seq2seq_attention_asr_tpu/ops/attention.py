@@ -288,6 +288,7 @@ def decode_teacher_forced(
     train: bool = False,
     unroll: int = 1,
     axis_name: Optional[str] = None,
+    backend: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Teacher-forced decode over all T output steps.
 
@@ -322,6 +323,34 @@ def decode_teacher_forced(
     y_prev = jnp.concatenate(
         [jnp.zeros_like(labels_onehot[:, :1]), labels_onehot[:, :-1]], axis=1
     )
+    # Fused Pallas decoder scan (ops/pallas/attention_scan.py): the
+    # whole T-step loop in one kernel with vh/h resident in VMEM.
+    # Covers the flagship feature_maps=0 GRU recipe; the lax.scan path
+    # below remains for location-aware attention, LSTM cells, the
+    # penalty ramp, and sequence sharding.
+    if axis_name is None and backend in ("auto", "pallas"):
+        from .pallas import attention_scan as _as
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        if _as.supported(cfg, b) and (backend == "pallas" or not interpret):
+            yin = y_prev @ params["y_in"]["w"] + params["y_in"]["b"]
+            s_seq, c_seq, alpha_seq = _as.attention_decode_scan(
+                vh, h, enc_mask, yin,
+                params["ws"]["w"], params["ws"]["b"][None, :],
+                params["w_e"][None, :],
+                params["c_in"]["w"], params["c_in"]["b"][None, :],
+                params["dec_in"]["w"], params["dec_in"]["b"][None, :],
+                params["cell"]["w_zr"], params["cell"]["w_h"],
+                8, interpret,
+            )
+            logprobs = apply_readout(
+                params, cfg, s_seq, c_seq, dropout_rng=dropout_rng, train=train
+            )
+            return {
+                "logprobs": logprobs,
+                "alpha": alpha_seq,
+                "penalty": jnp.zeros_like(dec_mask),
+            }
     # Zero initial state (Recurrent.lua zero-state templates), derived
     # from the traced inputs so it inherits their varying-manual-axes
     # under shard_map (alpha varies with h over dp/sp; s/mem vary with

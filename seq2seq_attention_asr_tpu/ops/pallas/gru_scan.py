@@ -213,3 +213,193 @@ gru_scan.defvjp(_vjp_fwd, _vjp_bwd)
 def supported(batch: int, hidden: int) -> bool:
     """Shape gate: lanes want H % 128 == 0, sublanes B % 8 == 0."""
     return hidden % 128 == 0 and batch % 8 == 0
+
+
+# ---------------------------------------------------------------------------
+# Fused bidirectional scan: both directions advance in ONE grid step, so a
+# BiGRU layer costs L sequential iterations instead of 2L. The directions
+# are independent recurrences (reference runs them as separate nn.RNN
+# modules, timit/model_chorowski_baseline.lua:22-34); their per-step
+# matmuls are small enough to pipeline back-to-back on the MXU inside one
+# iteration, hiding most of the second direction's latency.
+# ---------------------------------------------------------------------------
+
+
+def _bi_fwd_kernel(xproj_ref, h0_ref, wzr_ref, wh_ref, out_ref, h_scr):
+    """Direction-stacked blocks: xproj_ref (2, 1, B, 3H), h0_ref (2, B, H),
+    wzr_ref (2, H, 2H), wh_ref (2, H, H), out_ref (2, 1, B, H). Direction 1's
+    xproj rows must already be in scan order (time-flipped by the caller)."""
+    t = pl.program_id(0)
+    hdim = wh_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    for d in range(2):
+        h = h_scr[d]
+        xzr = xproj_ref[d, 0, :, : 2 * hdim]
+        xh = xproj_ref[d, 0, :, 2 * hdim :]
+        zr = jax.nn.sigmoid(
+            jnp.dot(h, wzr_ref[d], preferred_element_type=jnp.float32) + xzr
+        )
+        z = zr[:, :hdim]
+        r = zr[:, hdim:]
+        c = jnp.tanh(
+            jnp.dot(r * h, wh_ref[d], preferred_element_type=jnp.float32) + xh
+        )
+        h_new = (1.0 - z) * h + z * c
+        h_scr[d] = h_new
+        out_ref[d, 0, :, :] = h_new
+
+
+def _bi_bwd_kernel(
+    xproj_ref, hprev_ref, dys_ref, wzr_ref, wh_ref,
+    dxproj_ref, dh0_ref, dwzr_ref, dwh_ref,
+    dh_scr, dwzr_scr, dwh_scr,
+):
+    t = pl.program_id(0)
+    n = pl.num_programs(0)
+    hdim = wh_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwzr_scr[:] = jnp.zeros_like(dwzr_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+
+    for d in range(2):
+        h_prev = hprev_ref[d, 0, :, :]
+        xzr = xproj_ref[d, 0, :, : 2 * hdim]
+        xh = xproj_ref[d, 0, :, 2 * hdim :]
+        zr = jax.nn.sigmoid(
+            jnp.dot(h_prev, wzr_ref[d], preferred_element_type=jnp.float32)
+            + xzr
+        )
+        z = zr[:, :hdim]
+        r = zr[:, hdim:]
+        rh = r * h_prev
+        c = jnp.tanh(
+            jnp.dot(rh, wh_ref[d], preferred_element_type=jnp.float32) + xh
+        )
+
+        dh = dys_ref[d, 0, :, :] + dh_scr[d]
+        dz = dh * (c - h_prev)
+        da_c = dh * z * (1.0 - c * c)
+        drh = jnp.dot(da_c, wh_ref[d].T, preferred_element_type=jnp.float32)
+        dr = drh * h_prev
+        da_z = dz * z * (1.0 - z)
+        da_r = dr * r * (1.0 - r)
+        da_zr = jnp.concatenate([da_z, da_r], axis=1)
+        dh_prev = (
+            drh * r
+            + jnp.dot(da_zr, wzr_ref[d].T, preferred_element_type=jnp.float32)
+            + dh * (1.0 - z)
+        )
+
+        dxproj_ref[d, 0, :, : 2 * hdim] = da_zr
+        dxproj_ref[d, 0, :, 2 * hdim :] = da_c
+        dwzr_scr[d] += jnp.dot(
+            h_prev.T, da_zr, preferred_element_type=jnp.float32
+        )
+        dwh_scr[d] += jnp.dot(rh.T, da_c, preferred_element_type=jnp.float32)
+        dh_scr[d] = dh_prev
+
+    @pl.when(t == n - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dwzr_ref[:] = dwzr_scr[:]
+        dwh_ref[:] = dwh_scr[:]
+
+
+def _bi_run_fwd(xproj2, h02, wzr2, wh2, interpret=False):
+    _, b, l, _ = xproj2.shape
+    h = wh2.shape[2]
+    xproj_t = jnp.swapaxes(xproj2, 1, 2)  # (2, L, B, 3H)
+    ys_t = pl.pallas_call(
+        _bi_fwd_kernel,
+        grid=(l,),
+        in_specs=[
+            pl.BlockSpec((2, 1, b, 3 * h), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, b, h), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, 2 * h), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, h), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 1, b, h), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, l, b, h), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * l * b * h * 3 * h + 12 * l * b * h),
+            bytes_accessed=2 * 4 * (l * b * 4 * h + 3 * h * h),
+            transcendentals=2 * 3 * l * b * h,
+        ),
+    )(xproj_t, h02, wzr2, wh2)
+    return jnp.swapaxes(ys_t, 1, 2)  # (2, B, L, H)
+
+
+def _bi_run_bwd(xproj2, h_prevs2, dys2, wzr2, wh2, interpret=False):
+    _, b, l, _ = xproj2.shape
+    h = wh2.shape[2]
+    rev = lambda t: (0, l - 1 - t, 0, 0)
+    const3 = lambda t: (0, 0, 0)
+    tm = lambda a: jnp.swapaxes(a, 1, 2)  # (2, L, B, .)
+    dxproj_t, dh0, dwzr, dwh = pl.pallas_call(
+        _bi_bwd_kernel,
+        grid=(l,),
+        in_specs=[
+            pl.BlockSpec((2, 1, b, 3 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, 2 * h), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, h), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 1, b, 3 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, b, h), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, 2 * h), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, h), const3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, l, b, 3 * h), jnp.float32),
+            jax.ShapeDtypeStruct((2, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((2, h, 2 * h), jnp.float32),
+            jax.ShapeDtypeStruct((2, h, h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b, h), jnp.float32),
+            pltpu.VMEM((2, h, 2 * h), jnp.float32),
+            pltpu.VMEM((2, h, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tm(xproj2), tm(h_prevs2), tm(dys2), wzr2, wh2)
+    return tm(dxproj_t), dh0, dwzr, dwh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bigru_scan(xproj2, h02, wzr2, wh2, interpret=False):
+    """Fused bidirectional GRU over time.
+
+    xproj2: (2, B, L, 3H) precomputed input projections, direction 0 in
+    natural time order and direction 1 already time-flipped into scan
+    order; h02: (2, B, H); wzr2: (2, H, 2H); wh2: (2, H, H). Returns all
+    hidden states (2, B, L, H), direction 1 in scan order (caller flips
+    back).
+    """
+    return _bi_run_fwd(xproj2, h02, wzr2, wh2, interpret)
+
+
+def _bi_vjp_fwd(xproj2, h02, wzr2, wh2, interpret=False):
+    ys = _bi_run_fwd(xproj2, h02, wzr2, wh2, interpret)
+    return ys, (xproj2, h02, wzr2, wh2, ys)
+
+
+def _bi_vjp_bwd(interpret, res, dys):
+    xproj2, h02, wzr2, wh2, ys = res
+    h_prevs = jnp.concatenate([h02[:, :, None, :], ys[:, :, :-1, :]], axis=2)
+    return _bi_run_bwd(xproj2, h_prevs, dys, wzr2, wh2, interpret)
+
+
+bigru_scan.defvjp(_bi_vjp_fwd, _bi_vjp_bwd)
