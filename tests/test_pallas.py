@@ -261,3 +261,44 @@ def test_attention_scan_bwd_xla_matches_pallas(attn_setup):
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+def test_logmel_pallas_matches_numpy_reference():
+    """Fused STFT+mel kernel (interpret) == offline float64 NumPy path
+    (data/features.py:logmel_np, itself the parity target for
+    preprocess_timit.py:196-209)."""
+    from seq2seq_attention_asr_tpu.data import features as F
+    from seq2seq_attention_asr_tpu.ops.pallas import logmel as LM
+
+    rng = np.random.RandomState(0)
+    y = (rng.randn(16000 * 2) * 0.1).astype(np.float32)
+    ref = F.logmel_np(y.astype(np.float64), 16000)
+    got = np.asarray(LM.logmel_pallas(y[None], 16000, interpret=True))[0]
+    assert got.shape == ref.shape  # (L, 123)
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+    ref2 = F.logmel_stacked_np(y.astype(np.float64), 16000)
+    got2 = np.asarray(
+        LM.logmel_stacked_pallas(y[None], 16000, interpret=True)
+    )[0]
+    assert got2.shape == ref2.shape  # (3, L, 40)
+    np.testing.assert_allclose(got2, ref2, atol=5e-3)
+
+
+def test_logmel_pallas_matches_xla_batched():
+    """Batched kernel path == logmel_jax on a 3-utterance batch,
+    including the corpus (mean, std) normalization hook."""
+    from seq2seq_attention_asr_tpu.data import features as F
+    from seq2seq_attention_asr_tpu.ops.pallas import logmel as LM
+
+    rng = np.random.RandomState(1)
+    y = (rng.randn(3, 16000) * 0.2).astype(np.float32)
+    mean = rng.randn(1, 1, 123).astype(np.float32)
+    std = (1.0 + rng.rand(1, 1, 123)).astype(np.float32)
+    a = np.asarray(
+        LM.logmel_pallas(jnp.asarray(y), 16000, mean=mean, std=std,
+                         interpret=True)
+    )
+    b = np.asarray(F.logmel_jax(jnp.asarray(y), 16000, mean=mean, std=std))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=5e-3)
