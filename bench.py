@@ -58,7 +58,7 @@ def main():
     )
     step_jit = jax.jit(step_fn, donate_argnums=0)
 
-    b, l, t = 32, 144, 56  # TIMIT-ish padded shapes (~4.6 s audio each)
+    b, l, t = 64, 144, 56  # TIMIT-ish padded shapes (~4.6 s audio each)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, l, 123), jnp.float32)
     x_len = jnp.asarray(np.full(b, l, np.int32))

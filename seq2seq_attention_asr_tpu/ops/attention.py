@@ -332,8 +332,13 @@ def decode_teacher_forced(
         from .pallas import attention_scan as _as
 
         interpret = jax.default_backend() not in ("tpu", "axon")
-        if _as.supported(cfg, b) and (backend == "pallas" or not interpret):
+        if _as.supported(cfg, b, loc_l) and (
+            backend == "pallas" or not interpret
+        ):
             yin = y_prev @ params["y_in"]["w"] + params["y_in"]["b"]
+            block_b = _as.choose_block(
+                b, loc_l, cfg.score_depth, cfg.annotation_depth
+            )
             s_seq, c_seq, alpha_seq = _as.attention_decode_scan(
                 vh, h, enc_mask, yin,
                 params["ws"]["w"], params["ws"]["b"][None, :],
@@ -341,7 +346,7 @@ def decode_teacher_forced(
                 params["c_in"]["w"], params["c_in"]["b"][None, :],
                 params["dec_in"]["w"], params["dec_in"]["b"][None, :],
                 params["cell"]["w_zr"], params["cell"]["w_h"],
-                8, interpret,
+                block_b, interpret,
             )
             logprobs = apply_readout(
                 params, cfg, s_seq, c_seq, dropout_rng=dropout_rng, train=train

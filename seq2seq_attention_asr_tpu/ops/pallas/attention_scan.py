@@ -155,6 +155,9 @@ def _run_fwd(
             jax.ShapeDtypeStruct((t_len, b, l), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bb, st), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t_len * l * (s_dim + a_dim),
@@ -278,7 +281,11 @@ def _bwd_kernel(
         dws, w["ws_w"].T, preferred_element_type=jnp.float32
     )
     dws_w[:] += jnp.dot(s_prev.T, dws, preferred_element_type=jnp.float32)
-    dws_b[:] += jnp.sum(dws, axis=0, keepdims=True)
+    # NOTE: summing dws (itself an axis-1 reduction of dz) over axis 0
+    # trips a Mosaic relayout bug ("non-singleton logical dimension is
+    # replicated in destination but not in source"); the fused (0, 1)
+    # reduction of dz lowers cleanly.
+    dws_b[:] += jnp.sum(dz, axis=(0, 1))[None, :]
 
     ds_scr[:] = ds_prev
 
@@ -353,6 +360,11 @@ def _run_bwd(
             jax.ShapeDtypeStruct(gru_wh.shape, jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bb, st), jnp.float32)],
+        # the recompute-heavy step keeps ~19 MB of blocks+temps live at
+        # the recipe shapes; raise the default 16 MB scoped-vmem cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         vh, h, enc_mask, sw(yin),
@@ -464,10 +476,12 @@ def _run_bwd_xla(
     return (dvh, dh, tm(dyin_t)) + dW
 
 
-# Pallas backward is disabled until the Mosaic compile issue on the
-# accumulate-into-revisited-outputs pattern is resolved (the forward
-# kernel is live; backward runs as the XLA reverse scan above).
-USE_PALLAS_BWD = False
+# Pallas backward: live. Two Mosaic issues were fixed to enable it —
+# the dws_b reduction relayout (see note in _bwd_kernel) and the 16 MB
+# scoped-vmem default (raised via CompilerParams). The XLA reverse scan
+# above remains as a correctness cross-check (tests) and a fallback
+# (flip this off to use it).
+USE_PALLAS_BWD = True
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
@@ -540,14 +554,32 @@ def _vjp_bwd(block_b, interpret, res, grads):
 attention_decode_scan.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def supported(cfg, batch: int, block_b: int = 8) -> bool:
+_VMEM_BUDGET = 100 * 1024 * 1024  # matches CompilerParams above
+
+
+def choose_block(batch: int, l: int, s_dim: int, a_dim: int) -> int:
+    """Largest batch block whose scoped-VMEM footprint fits.
+
+    Bigger blocks matter: at block 8 the per-step matmuls occupy only
+    8/128 MXU sublanes and the backward measured 6x slower than at
+    block 16/32 (TIMIT recipe shapes). The footprint model
+    ~5 * bb*L*(S+A)*4 bytes is calibrated against Mosaic's reported
+    scoped allocations (19 MB at bb=8, L=144, S=A=512 backward).
+    """
+    for bb in (32, 16, 8):
+        if batch % bb == 0 and 5 * bb * l * (s_dim + a_dim) * 4 <= _VMEM_BUDGET:
+            return bb
+    return 0
+
+
+def supported(cfg, batch: int, l: int = 144) -> bool:
     """Usable for this config/batch? feature_maps=0, GRU, no penalty
     ramp (the monotonic penalty is gradient-only and handled by the XLA
-    path), and a batch divisible by the block."""
+    path), and a (batch, L) for which a block fits in VMEM."""
     return (
         cfg.feature_maps == 0
         and cfg.cell == "gru"
         and not (cfg.mono_align and cfg.penalty_lambda > 0.0)
-        and batch % min(block_b, batch) == 0
         and batch >= 8
+        and choose_block(batch, l, cfg.score_depth, cfg.annotation_depth) > 0
     )

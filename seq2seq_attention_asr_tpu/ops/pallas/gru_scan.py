@@ -225,10 +225,18 @@ def supported(batch: int, hidden: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+# Timesteps per grid iteration: amortizes the per-grid-step overhead
+# (block DMA orchestration, revisit bookkeeping) over TBLK steps — the
+# dominant cost at recipe shapes, where each step's matmuls are only a
+# few microseconds of MXU time. The callers pad L to a multiple.
+TBLK = 8
+
+
 def _bi_fwd_kernel(xproj_ref, h0_ref, wzr_ref, wh_ref, out_ref, h_scr):
-    """Direction-stacked blocks: xproj_ref (2, 1, B, 3H), h0_ref (2, B, H),
-    wzr_ref (2, H, 2H), wh_ref (2, H, H), out_ref (2, 1, B, H). Direction 1's
-    xproj rows must already be in scan order (time-flipped by the caller)."""
+    """Direction-stacked blocks: xproj_ref (2, TBLK, B, 3H), h0_ref
+    (2, B, H), wzr_ref (2, H, 2H), wh_ref (2, H, H), out_ref
+    (2, TBLK, B, H). Direction 1's xproj rows must already be in scan
+    order (time-flipped by the caller)."""
     t = pl.program_id(0)
     hdim = wh_ref.shape[2]
 
@@ -236,21 +244,35 @@ def _bi_fwd_kernel(xproj_ref, h0_ref, wzr_ref, wh_ref, out_ref, h_scr):
     def _():
         h_scr[:] = h0_ref[:]
 
-    for d in range(2):
-        h = h_scr[d]
-        xzr = xproj_ref[d, 0, :, : 2 * hdim]
-        xh = xproj_ref[d, 0, :, 2 * hdim :]
-        zr = jax.nn.sigmoid(
-            jnp.dot(h, wzr_ref[d], preferred_element_type=jnp.float32) + xzr
-        )
-        z = zr[:, :hdim]
-        r = zr[:, hdim:]
-        c = jnp.tanh(
-            jnp.dot(r * h, wh_ref[d], preferred_element_type=jnp.float32) + xh
-        )
-        h_new = (1.0 - z) * h + z * c
-        h_scr[d] = h_new
-        out_ref[d, 0, :, :] = h_new
+    # Both directions advance in LOCKSTEP inside each timestep so their
+    # independent matmul->sigmoid->matmul->tanh chains interleave on the
+    # MXU/VPU instead of serializing (they share no data).
+    hs = [h_scr[0], h_scr[1]]
+    for i in range(TBLK):
+        zrs = [
+            jax.nn.sigmoid(
+                jnp.dot(hs[d], wzr_ref[d], preferred_element_type=jnp.float32)
+                + xproj_ref[d, i, :, : 2 * hdim]
+            )
+            for d in range(2)
+        ]
+        cs = [
+            jnp.tanh(
+                jnp.dot(
+                    zrs[d][:, hdim:] * hs[d],
+                    wh_ref[d],
+                    preferred_element_type=jnp.float32,
+                )
+                + xproj_ref[d, i, :, 2 * hdim :]
+            )
+            for d in range(2)
+        ]
+        for d in range(2):
+            z = zrs[d][:, :hdim]
+            hs[d] = (1.0 - z) * hs[d] + z * cs[d]
+            out_ref[d, i, :, :] = hs[d]
+    h_scr[0] = hs[0]
+    h_scr[1] = hs[1]
 
 
 def _bi_bwd_kernel(
@@ -269,41 +291,56 @@ def _bi_bwd_kernel(
         dwh_scr[:] = jnp.zeros_like(dwh_scr)
 
     for d in range(2):
-        h_prev = hprev_ref[d, 0, :, :]
-        xzr = xproj_ref[d, 0, :, : 2 * hdim]
-        xh = xproj_ref[d, 0, :, 2 * hdim :]
-        zr = jax.nn.sigmoid(
-            jnp.dot(h_prev, wzr_ref[d], preferred_element_type=jnp.float32)
-            + xzr
-        )
-        z = zr[:, :hdim]
-        r = zr[:, hdim:]
-        rh = r * h_prev
-        c = jnp.tanh(
-            jnp.dot(rh, wh_ref[d], preferred_element_type=jnp.float32) + xh
-        )
+        dh_carry = dh_scr[d]
+        dwzr_acc = dwzr_scr[d]
+        dwh_acc = dwh_scr[d]
+        for i in reversed(range(TBLK)):
+            h_prev = hprev_ref[d, i, :, :]
+            xzr = xproj_ref[d, i, :, : 2 * hdim]
+            xh = xproj_ref[d, i, :, 2 * hdim :]
+            zr = jax.nn.sigmoid(
+                jnp.dot(
+                    h_prev, wzr_ref[d], preferred_element_type=jnp.float32
+                )
+                + xzr
+            )
+            z = zr[:, :hdim]
+            r = zr[:, hdim:]
+            rh = r * h_prev
+            c = jnp.tanh(
+                jnp.dot(rh, wh_ref[d], preferred_element_type=jnp.float32)
+                + xh
+            )
 
-        dh = dys_ref[d, 0, :, :] + dh_scr[d]
-        dz = dh * (c - h_prev)
-        da_c = dh * z * (1.0 - c * c)
-        drh = jnp.dot(da_c, wh_ref[d].T, preferred_element_type=jnp.float32)
-        dr = drh * h_prev
-        da_z = dz * z * (1.0 - z)
-        da_r = dr * r * (1.0 - r)
-        da_zr = jnp.concatenate([da_z, da_r], axis=1)
-        dh_prev = (
-            drh * r
-            + jnp.dot(da_zr, wzr_ref[d].T, preferred_element_type=jnp.float32)
-            + dh * (1.0 - z)
-        )
+            dh = dys_ref[d, i, :, :] + dh_carry
+            dz = dh * (c - h_prev)
+            da_c = dh * z * (1.0 - c * c)
+            drh = jnp.dot(
+                da_c, wh_ref[d].T, preferred_element_type=jnp.float32
+            )
+            dr = drh * h_prev
+            da_z = dz * z * (1.0 - z)
+            da_r = dr * r * (1.0 - r)
+            da_zr = jnp.concatenate([da_z, da_r], axis=1)
+            dh_carry = (
+                drh * r
+                + jnp.dot(
+                    da_zr, wzr_ref[d].T, preferred_element_type=jnp.float32
+                )
+                + dh * (1.0 - z)
+            )
 
-        dxproj_ref[d, 0, :, : 2 * hdim] = da_zr
-        dxproj_ref[d, 0, :, 2 * hdim :] = da_c
-        dwzr_scr[d] += jnp.dot(
-            h_prev.T, da_zr, preferred_element_type=jnp.float32
-        )
-        dwh_scr[d] += jnp.dot(rh.T, da_c, preferred_element_type=jnp.float32)
-        dh_scr[d] = dh_prev
+            dxproj_ref[d, i, :, : 2 * hdim] = da_zr
+            dxproj_ref[d, i, :, 2 * hdim :] = da_c
+            dwzr_acc += jnp.dot(
+                h_prev.T, da_zr, preferred_element_type=jnp.float32
+            )
+            dwh_acc += jnp.dot(
+                rh.T, da_c, preferred_element_type=jnp.float32
+            )
+        dwzr_scr[d] = dwzr_acc
+        dwh_scr[d] = dwh_acc
+        dh_scr[d] = dh_carry
 
     @pl.when(t == n - 1)
     def _():
@@ -312,24 +349,39 @@ def _bi_bwd_kernel(
         dwh_ref[:] = dwh_scr[:]
 
 
+def _pad_time(a, lp):
+    """Zero-pad the time (axis 1 of a (2, L, B, X) array) up to lp."""
+    l = a.shape[1]
+    if l == lp:
+        return a
+    return jnp.pad(a, ((0, 0), (0, lp - l), (0, 0), (0, 0)))
+
+
 def _bi_run_fwd(xproj2, h02, wzr2, wh2, interpret=False):
     _, b, l, _ = xproj2.shape
     h = wh2.shape[2]
-    xproj_t = jnp.swapaxes(xproj2, 1, 2)  # (2, L, B, 3H)
+    # Scan-order END padding is harmless: padded steps run after every
+    # valid one and their outputs are sliced off below.
+    lp = -(-l // TBLK) * TBLK
+    nblk = lp // TBLK
+    xproj_t = _pad_time(jnp.swapaxes(xproj2, 1, 2), lp)  # (2, Lp, B, 3H)
     ys_t = pl.pallas_call(
         _bi_fwd_kernel,
-        grid=(l,),
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((2, 1, b, 3 * h), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TBLK, b, 3 * h), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, b, h), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h, 2 * h), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h, h), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, 1, b, h), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM
+            (2, TBLK, b, h), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((2, l, b, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, lp, b, h), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * (2 * l * b * h * 3 * h + 12 * l * b * h),
@@ -337,33 +389,38 @@ def _bi_run_fwd(xproj2, h02, wzr2, wh2, interpret=False):
             transcendentals=2 * 3 * l * b * h,
         ),
     )(xproj_t, h02, wzr2, wh2)
-    return jnp.swapaxes(ys_t, 1, 2)  # (2, B, L, H)
+    return jnp.swapaxes(ys_t[:, :l], 1, 2)  # (2, B, L, H)
 
 
 def _bi_run_bwd(xproj2, h_prevs2, dys2, wzr2, wh2, interpret=False):
     _, b, l, _ = xproj2.shape
     h = wh2.shape[2]
-    rev = lambda t: (0, l - 1 - t, 0, 0)
+    lp = -(-l // TBLK) * TBLK
+    nblk = lp // TBLK
+    # Padded (scan-order tail) steps see dys=0 so every grad they emit
+    # is exactly zero and dh carries through them unchanged; they run
+    # FIRST in the reversed sweep, before any valid step.
+    rev = lambda t: (0, nblk - 1 - t, 0, 0)
     const3 = lambda t: (0, 0, 0)
-    tm = lambda a: jnp.swapaxes(a, 1, 2)  # (2, L, B, .)
+    tm = lambda a: _pad_time(jnp.swapaxes(a, 1, 2), lp)  # (2, Lp, B, .)
     dxproj_t, dh0, dwzr, dwh = pl.pallas_call(
         _bi_bwd_kernel,
-        grid=(l,),
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((2, 1, b, 3 * h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TBLK, b, 3 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TBLK, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TBLK, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h, 2 * h), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h, h), const3, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((2, 1, b, 3 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TBLK, b, 3 * h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, b, h), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h, 2 * h), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h, h), const3, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, l, b, 3 * h), jnp.float32),
+            jax.ShapeDtypeStruct((2, lp, b, 3 * h), jnp.float32),
             jax.ShapeDtypeStruct((2, b, h), jnp.float32),
             jax.ShapeDtypeStruct((2, h, 2 * h), jnp.float32),
             jax.ShapeDtypeStruct((2, h, h), jnp.float32),
@@ -373,9 +430,12 @@ def _bi_run_bwd(xproj2, h_prevs2, dys2, wzr2, wh2, interpret=False):
             pltpu.VMEM((2, h, 2 * h), jnp.float32),
             pltpu.VMEM((2, h, h), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(tm(xproj2), tm(h_prevs2), tm(dys2), wzr2, wh2)
-    return tm(dxproj_t), dh0, dwzr, dwh
+    return jnp.swapaxes(dxproj_t[:, :l], 1, 2), dh0, dwzr, dwh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
