@@ -202,6 +202,21 @@ def cqt_np(
     return np.vstack([cqt, d1, d2, energy]).T
 
 
+def cqt_stacked_np(
+    y: np.ndarray, sr: int, n_bins: int = 84, hop: int = HOP, nfreqs: Optional[int] = None
+) -> np.ndarray:
+    """(3, L, nb) channel-stacked pseudo-CQT/delta/delta-delta — the
+    CQT_stacked dataset variant (preprocess_timit.py:241-253)."""
+    S = np.abs(stft_np(y, N_FFT, hop)) ** 2
+    fb, _ = pseudo_cqt_filterbank(sr, N_FFT, n_bins)
+    cqt = np.sqrt(fb @ S)
+    if nfreqs is not None:
+        cqt = cqt[:nfreqs]
+    d1 = delta_np(cqt, order=1)
+    d2 = delta_np(cqt, order=2)
+    return np.stack([cqt.T, d1.T, d2.T], axis=0)
+
+
 def normalize_corpus(train_feats, *other_splits, pad: int = 10):
     """Train-set mean/std normalization + zero padding both ends.
 

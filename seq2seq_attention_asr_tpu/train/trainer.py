@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
@@ -55,6 +56,7 @@ class TrainConfig:
     max_samples: Optional[int] = None  # opt.maxnumsamples
     eval_len_factor: float = 1.0  # beam maxseqlen = factor * L (2.0 for librispeech)
     dump_attention: bool = False  # per-epoch alpha/Ws/Vh dump (timit.lua:540-550)
+    nan_debug: bool = True  # NaN tripwire (TrainUtils.lua:55-93 parity)
     seed: int = 1
 
 
@@ -367,6 +369,17 @@ class Trainer:
             n_samples += len(batch.uids)
             for k in ("loss", "nll", "correct", "total", "grad_norm", "penalty"):
                 agg[k] += float(m[k])
+            if self.tcfg.nan_debug and not math.isfinite(agg["loss"]):
+                # TrainUtils.lua:55-93 tripwire parity: abort with the
+                # offending parameter paths instead of training on.
+                from ..utils import debug as _dbg
+
+                bad = _dbg.find_nonfinite(self.state[0])
+                raise _dbg.NonFiniteError(
+                    f"loss went non-finite at epoch {epoch} batch "
+                    f"{n_batches} (uids {list(batch.uids)[:4]}...)",
+                    bad or ["<params finite; non-finite loss only>"],
+                )
         dt = time.time() - t0
         out = {
             "epoch": epoch,

@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--root", required=True, help="TIMIT corpus root")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--variant", default="logmel",
-                    choices=["logmel", "logmel_stacked", "cqt"])
+                    choices=["logmel", "logmel_stacked", "cqt",
+                             "cqt_stacked"])
     ap.add_argument("--pad", type=int, default=10)
     ap.add_argument("--max-utts", type=int, default=None,
                     help="truncate each split (smoke tests)")
@@ -41,6 +42,7 @@ def main():
         "logmel": features.logmel_np,
         "logmel_stacked": features.logmel_stacked_np,
         "cqt": features.cqt_np,
+        "cqt_stacked": features.cqt_stacked_np,
     }[args.variant]
 
     train, valid, test, vocab, mean, std = timit.build_datasets(
