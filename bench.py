@@ -34,7 +34,11 @@ def main():
     from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
 
     # Reference-recipe model (timit/model_chorowski_baseline.lua +
-    # exp_logmel7_chorowski_normNLL_colnorm.lua).
+    # exp_logmel7_chorowski_normNLL_colnorm.lua). Mixed precision:
+    # bf16 compute with f32 master params/carries/log-softmax — the
+    # per-step NLL trajectory matches float32 to 4 decimals on this
+    # recipe (see BASELINE.md), so this is the production operating
+    # point, not a benchmark special.
     model = registry.build(
         "chorowski",
         input_frame_size=123,
@@ -49,6 +53,7 @@ def main():
         mono_align=True,
         penalty_lambda=0.0,
         scan_unroll=8,
+        compute_dtype="bfloat16",
     )
     tcfg = trainer_lib.TrainConfig(normalize_nll=True)
     ocfg = optim_lib.OptimConfig(colnorm=True, colnorm_maxval=1.0)
@@ -58,7 +63,7 @@ def main():
     )
     step_jit = jax.jit(step_fn, donate_argnums=0)
 
-    b, l, t = 64, 144, 56  # TIMIT-ish padded shapes (~4.6 s audio each)
+    b, l, t = 128, 144, 56  # TIMIT-ish padded shapes (~4.6 s audio each)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, l, 123), jnp.float32)
     x_len = jnp.asarray(np.full(b, l, np.int32))

@@ -47,6 +47,11 @@ class ChorowskiConfig:
     scan_unroll: int = 1
     rnn_backend: str = "auto"  # "auto" | "xla" | "pallas" (fused GRU scan)
     attn_backend: str = "auto"  # "auto" | "xla" | "pallas" (fused decoder scan)
+    # "bfloat16" runs the forward/backward compute in bf16 with float32
+    # master params, carries, accumulation, and log-softmax (mixed
+    # precision; ~2x step time on the MXU-bound parts). "float32" is
+    # bit-compatible with the reference numerics.
+    compute_dtype: str = "float32"
 
     @property
     def annotation_depth(self) -> int:
@@ -112,6 +117,13 @@ def forward(
 
     Returns dict with logprobs (B, T, V), alpha (B, T, L), penalty (B, T).
     """
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.float32:
+        cast = lambda a: a.astype(dt) if a.dtype == jnp.float32 else a
+        params = jax.tree.map(cast, params)
+        x = cast(x)
+        labels_onehot = cast(labels_onehot)
+        dec_mask = cast(dec_mask)
     h = encode(params, cfg, x, x_lengths)
     return attention.decode_teacher_forced(
         params["decoder"],

@@ -332,12 +332,12 @@ def decode_teacher_forced(
         from .pallas import attention_scan as _as
 
         interpret = jax.default_backend() not in ("tpu", "axon")
-        if _as.supported(cfg, b, loc_l) and (
+        if _as.supported(cfg, b, loc_l, h.dtype) and (
             backend == "pallas" or not interpret
         ):
             yin = y_prev @ params["y_in"]["w"] + params["y_in"]["b"]
             block_b = _as.choose_block(
-                b, loc_l, cfg.score_depth, cfg.annotation_depth
+                b, loc_l, cfg.score_depth, cfg.annotation_depth, h.dtype
             )
             s_seq, c_seq, alpha_seq = _as.attention_decode_scan(
                 vh, h, enc_mask, yin,

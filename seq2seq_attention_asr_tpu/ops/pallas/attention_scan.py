@@ -44,33 +44,41 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30  # matches ops/masking.py
 
 
-def _step_core(vh, h, mask, yin_t, s_prev, w):
+def _step_core(vh, h, mask, yin_t, s_prev, w, dt):
     """Shared forward math for one decoder step on a (BB, ...) block.
 
     Returns (alpha, c, s_new, a) where a = tanh(z) is kept for reuse.
+    All math runs float32; `dt` is the IO/matmul-operand dtype (bf16
+    under mixed precision — halves HBM traffic, doubles MXU rate).
     """
     st = w["dec_w"].shape[1]
-    ws = jnp.dot(s_prev, w["ws_w"], preferred_element_type=jnp.float32) + w["ws_b"]
-    z = vh + ws[:, None, :]
+    ws = jnp.dot(
+        s_prev.astype(dt), w["ws_w"], preferred_element_type=jnp.float32
+    ) + w["ws_b"].astype(jnp.float32)
+    z = vh.astype(jnp.float32) + ws[:, None, :]
     a = jnp.tanh(z)
-    e = jnp.sum(a * w["w_e"][0][None, None, :], axis=-1)  # (BB, L)
+    e = jnp.sum(a * w["w_e"][0].astype(jnp.float32)[None, None, :], axis=-1)
     e = jnp.where(mask > 0, e, NEG_INF)
     m = jnp.max(e, axis=-1, keepdims=True)
     p = jnp.exp(e - m) * (mask > 0)
     alpha = p / jnp.sum(p, axis=-1, keepdims=True)
-    c = jnp.sum(alpha[:, :, None] * h, axis=1)  # (BB, A)
-    cc = jnp.dot(c, w["c_w"], preferred_element_type=jnp.float32) + w["c_b"]
-    rr = jnp.concatenate([cc, yin_t], axis=-1)
-    r = jnp.dot(rr, w["dec_w"], preferred_element_type=jnp.float32) + w["dec_b"]
+    c = jnp.sum(alpha[:, :, None] * h.astype(jnp.float32), axis=1)  # (BB, A)
+    cc = jnp.dot(
+        c.astype(dt), w["c_w"], preferred_element_type=jnp.float32
+    ) + w["c_b"].astype(jnp.float32)
+    rr = jnp.concatenate([cc, yin_t.astype(jnp.float32)], axis=-1)
+    r = jnp.dot(
+        rr.astype(dt), w["dec_w"], preferred_element_type=jnp.float32
+    ) + w["dec_b"].astype(jnp.float32)
     # GRU cell on concat(s_prev, r) (cells.gru_step layout)
     sr = jnp.concatenate([s_prev, r], axis=-1)
     zr = jax.nn.sigmoid(
-        jnp.dot(sr, w["gru_wzr"], preferred_element_type=jnp.float32)
+        jnp.dot(sr.astype(dt), w["gru_wzr"], preferred_element_type=jnp.float32)
     )
     zg, rg = zr[:, :st], zr[:, st:]
     cand = jnp.tanh(
         jnp.dot(
-            jnp.concatenate([rg * s_prev, r], axis=-1),
+            jnp.concatenate([rg * s_prev, r], axis=-1).astype(dt),
             w["gru_wh"],
             preferred_element_type=jnp.float32,
         )
@@ -100,13 +108,15 @@ def _fwd_kernel(
         s_scr[:] = jnp.zeros_like(s_scr)
 
     w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    dt = vh_ref.dtype
     alpha, c, s_new, _ = _step_core(
-        vh_ref[:], h_ref[:], mask_ref[:], yin_ref[0], s_scr[:], w
+        vh_ref[:], h_ref[:], mask_ref[:].astype(jnp.float32), yin_ref[0],
+        s_scr[:], w, dt,
     )
     s_scr[:] = s_new
-    s_out[0] = s_new
-    c_out[0] = c
-    alpha_out[0] = alpha
+    s_out[0] = s_new.astype(s_out.dtype)
+    c_out[0] = c.astype(c_out.dtype)
+    alpha_out[0] = alpha.astype(alpha_out.dtype)
 
 
 def _run_fwd(
@@ -150,9 +160,9 @@ def _run_fwd(
             pl.BlockSpec((1, bb, l), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_len, b, st), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, b, a_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, b, l), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, st), vh.dtype),
+            jax.ShapeDtypeStruct((t_len, b, a_dim), vh.dtype),
+            jax.ShapeDtypeStruct((t_len, b, l), vh.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((bb, st), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -202,85 +212,95 @@ def _bwd_kernel(
         dgru_wh[:] = jnp.zeros_like(dgru_wh)
 
     w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
-    vh = vh_ref[:]
-    h = h_ref[:]
-    mask = mask_ref[:]
-    yin_t = yin_ref[0]
+    dt = vh_ref.dtype
+    f32 = jnp.float32
+    vh = vh_ref[:].astype(f32)
+    h = h_ref[:].astype(f32)
+    mask = mask_ref[:].astype(f32)
+    yin_t = yin_ref[0].astype(f32)
     # s_prev: the saved s sequence shifted by one; the (clamped) block
     # at step 0 is garbage and replaced by the zero initial state.
     rev_is_first = t == n - 1  # reversed-time step 0
-    s_prev = jnp.where(rev_is_first, 0.0, sprev_ref[0])
-    c_saved = c_ref[0]
+    s_prev = jnp.where(rev_is_first, 0.0, sprev_ref[0].astype(f32))
+    c_saved = c_ref[0].astype(f32)
 
-    # --- recompute the step ---
-    ws = jnp.dot(s_prev, w["ws_w"], preferred_element_type=jnp.float32) + w["ws_b"]
+    # --- recompute the step (float32 math, dt matmul operands) ---
+    mm = lambda x, ww: jnp.dot(x.astype(dt), ww, preferred_element_type=f32)
+    mmT = lambda x, ww: jnp.dot(
+        x.astype(dt), ww.T, preferred_element_type=f32
+    )
+    ws = mm(s_prev, w["ws_w"]) + w["ws_b"].astype(f32)
     z = vh + ws[:, None, :]
     a = jnp.tanh(z)
-    e = jnp.sum(a * w["w_e"][0][None, None, :], axis=-1)
+    e = jnp.sum(a * w["w_e"][0].astype(f32)[None, None, :], axis=-1)
     e = jnp.where(mask > 0, e, NEG_INF)
     m = jnp.max(e, axis=-1, keepdims=True)
     p = jnp.exp(e - m) * (mask > 0)
     alpha = p / jnp.sum(p, axis=-1, keepdims=True)
-    cc = jnp.dot(c_saved, w["c_w"], preferred_element_type=jnp.float32) + w["c_b"]
+    cc = mm(c_saved, w["c_w"]) + w["c_b"].astype(f32)
     rr = jnp.concatenate([cc, yin_t], axis=-1)
-    r = jnp.dot(rr, w["dec_w"], preferred_element_type=jnp.float32) + w["dec_b"]
+    r = mm(rr, w["dec_w"]) + w["dec_b"].astype(f32)
     sr = jnp.concatenate([s_prev, r], axis=-1)
-    zr = jax.nn.sigmoid(
-        jnp.dot(sr, w["gru_wzr"], preferred_element_type=jnp.float32)
-    )
+    zr = jax.nn.sigmoid(mm(sr, w["gru_wzr"]))
     zg, rg = zr[:, :st], zr[:, st:]
     rgs = rg * s_prev
     cand_in = jnp.concatenate([rgs, r], axis=-1)
-    cand = jnp.tanh(
-        jnp.dot(cand_in, w["gru_wh"], preferred_element_type=jnp.float32)
-    )
+    cand = jnp.tanh(mm(cand_in, w["gru_wh"]))
 
     # --- backward through the GRU ---
-    ds = ds_ref[0] + ds_scr[:]
+    ds = ds_ref[0].astype(f32) + ds_scr[:]
     dzg = ds * (cand - s_prev)
     dcand = ds * zg
     da_cand = dcand * (1.0 - cand * cand)
-    dcand_in = jnp.dot(da_cand, w["gru_wh"].T, preferred_element_type=jnp.float32)
+    dcand_in = mmT(da_cand, w["gru_wh"])
     drgs = dcand_in[:, :st]
     dr = dcand_in[:, st:]
     drg = drgs * s_prev
     da_z = dzg * zg * (1.0 - zg)
     da_r = drg * rg * (1.0 - rg)
     da_zr = jnp.concatenate([da_z, da_r], axis=-1)
-    dsr = jnp.dot(da_zr, w["gru_wzr"].T, preferred_element_type=jnp.float32)
+    dsr = mmT(da_zr, w["gru_wzr"])
     ds_prev = dsr[:, :st] + drgs * rg + ds * (1.0 - zg)
     dr = dr + dsr[:, st:]
-    dgru_wh[:] += jnp.dot(cand_in.T, da_cand, preferred_element_type=jnp.float32)
-    dgru_wzr[:] += jnp.dot(sr.T, da_zr, preferred_element_type=jnp.float32)
+    dgru_wh[:] += jnp.dot(
+        cand_in.astype(dt).T, da_cand.astype(dt), preferred_element_type=f32
+    )
+    dgru_wzr[:] += jnp.dot(
+        sr.astype(dt).T, da_zr.astype(dt), preferred_element_type=f32
+    )
 
     # --- backward through the decoder-input MLP ---
-    drr = jnp.dot(dr, w["dec_w"].T, preferred_element_type=jnp.float32)
-    ddec_w[:] += jnp.dot(rr.T, dr, preferred_element_type=jnp.float32)
+    drr = mmT(dr, w["dec_w"])
+    ddec_w[:] += jnp.dot(
+        rr.astype(dt).T, dr.astype(dt), preferred_element_type=f32
+    )
     ddec_b[:] += jnp.sum(dr, axis=0, keepdims=True)
     dcc = drr[:, :st]
-    dyin_ref[0] = drr[:, st:]
-    dc = jnp.dot(dcc, w["c_w"].T, preferred_element_type=jnp.float32)
-    dc_w[:] += jnp.dot(c_saved.T, dcc, preferred_element_type=jnp.float32)
+    dyin_ref[0] = drr[:, st:].astype(dyin_ref.dtype)
+    dc = mmT(dcc, w["c_w"])
+    dc_w[:] += jnp.dot(
+        c_saved.astype(dt).T, dcc.astype(dt), preferred_element_type=f32
+    )
     dc_b[:] += jnp.sum(dcc, axis=0, keepdims=True)
-    dc = dc + dc_ref[0]
+    dc = dc + dc_ref[0].astype(f32)
 
     # --- backward through the context ---
-    dalpha = jnp.sum(dc[:, None, :] * h, axis=-1) + dalpha_ref[0]
+    dalpha = jnp.sum(dc[:, None, :] * h, axis=-1) + dalpha_ref[0].astype(f32)
     dh_ref[:] += alpha[:, :, None] * dc[:, None, :]
 
     # --- backward through the masked softmax ---
     de = alpha * (dalpha - jnp.sum(dalpha * alpha, axis=-1, keepdims=True))
 
     # --- backward through the energies ---
-    da = de[:, :, None] * w["w_e"][0][None, None, :]
+    da = de[:, :, None] * w["w_e"][0].astype(f32)[None, None, :]
     dw_e[:] += jnp.sum(a * de[:, :, None], axis=(0, 1))[None, :]
     dz = da * (1.0 - a * a)
     dvh_ref[:] += dz
     dws = jnp.sum(dz, axis=1)  # (BB, S)
-    ds_prev = ds_prev + jnp.dot(
-        dws, w["ws_w"].T, preferred_element_type=jnp.float32
+    ds_prev = ds_prev + mmT(dws, w["ws_w"])
+    dws_w[:] += jnp.dot(
+        s_prev.astype(dt).T, dws.astype(dt), preferred_element_type=f32
     )
-    dws_w[:] += jnp.dot(s_prev.T, dws, preferred_element_type=jnp.float32)
     # NOTE: summing dws (itself an axis-1 reduction of dz) over axis 0
     # trips a Mosaic relayout bug ("non-singleton logical dimension is
     # replicated in destination but not in source"); the fused (0, 1)
@@ -373,6 +393,11 @@ def _run_bwd(
     )
     outs = list(outs)
     outs[2] = jnp.swapaxes(outs[2], 0, 1)  # dyin back to (B, T, St)
+    # Cotangents must match the primal dtypes (the kernel accumulates
+    # everything in float32; one cast after full accumulation).
+    primals = (vh, h, yin, ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
+               gru_wzr, gru_wh)
+    outs = [o.astype(p.dtype) for o, p in zip(outs, primals)]
     return tuple(outs)
 
 
@@ -557,7 +582,8 @@ attention_decode_scan.defvjp(_vjp_fwd, _vjp_bwd)
 _VMEM_BUDGET = 100 * 1024 * 1024  # matches CompilerParams above
 
 
-def choose_block(batch: int, l: int, s_dim: int, a_dim: int) -> int:
+def choose_block(batch: int, l: int, s_dim: int, a_dim: int,
+                 dtype=jnp.float32) -> int:
     """Largest batch block whose scoped-VMEM footprint fits.
 
     Bigger blocks matter: at block 8 the per-step matmuls occupy only
@@ -565,21 +591,26 @@ def choose_block(batch: int, l: int, s_dim: int, a_dim: int) -> int:
     block 16/32 (TIMIT recipe shapes). The footprint model
     ~5 * bb*L*(S+A)*4 bytes is calibrated against Mosaic's reported
     scoped allocations (19 MB at bb=8, L=144, S=A=512 backward).
+    bf16 tiles want 16 sublanes, so blocks of 8 are float32-only.
     """
-    for bb in (32, 16, 8):
+    blocks = (32, 16) if dtype == jnp.bfloat16 else (32, 16, 8)
+    for bb in blocks:
         if batch % bb == 0 and 5 * bb * l * (s_dim + a_dim) * 4 <= _VMEM_BUDGET:
             return bb
     return 0
 
 
-def supported(cfg, batch: int, l: int = 144) -> bool:
+def supported(cfg, batch: int, l: int = 144, dtype=jnp.float32) -> bool:
     """Usable for this config/batch? feature_maps=0, GRU, no penalty
     ramp (the monotonic penalty is gradient-only and handled by the XLA
-    path), and a (batch, L) for which a block fits in VMEM."""
+    path), tile-friendly L, and a (batch, L) block that fits in VMEM."""
+    sublane = 16 if dtype == jnp.bfloat16 else 8
     return (
         cfg.feature_maps == 0
         and cfg.cell == "gru"
         and not (cfg.mono_align and cfg.penalty_lambda > 0.0)
         and batch >= 8
-        and choose_block(batch, l, cfg.score_depth, cfg.annotation_depth) > 0
+        and l % sublane == 0
+        and choose_block(batch, l, cfg.score_depth, cfg.annotation_depth,
+                         dtype) > 0
     )

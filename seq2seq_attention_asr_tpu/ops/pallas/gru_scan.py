@@ -242,35 +242,43 @@ def _bi_fwd_kernel(xproj_ref, h0_ref, wzr_ref, wh_ref, out_ref, h_scr):
 
     @pl.when(t == 0)
     def _():
-        h_scr[:] = h0_ref[:]
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
 
     # Both directions advance in LOCKSTEP inside each timestep so their
     # independent matmul->sigmoid->matmul->tanh chains interleave on the
     # MXU/VPU instead of serializing (they share no data).
-    hs = [h_scr[0], h_scr[1]]
+    #
+    # Mixed precision: IO blocks and matmul operands use the input dtype
+    # (bf16 halves HBM traffic and doubles MXU rate); the hidden-state
+    # carry and all accumulation stay float32.
+    dt = xproj_ref.dtype
+    hs = [h_scr[0], h_scr[1]]  # float32 carries
     for i in range(TBLK):
         zrs = [
             jax.nn.sigmoid(
-                jnp.dot(hs[d], wzr_ref[d], preferred_element_type=jnp.float32)
-                + xproj_ref[d, i, :, : 2 * hdim]
+                jnp.dot(
+                    hs[d].astype(dt), wzr_ref[d],
+                    preferred_element_type=jnp.float32,
+                )
+                + xproj_ref[d, i, :, : 2 * hdim].astype(jnp.float32)
             )
             for d in range(2)
         ]
         cs = [
             jnp.tanh(
                 jnp.dot(
-                    zrs[d][:, hdim:] * hs[d],
+                    (zrs[d][:, hdim:] * hs[d]).astype(dt),
                     wh_ref[d],
                     preferred_element_type=jnp.float32,
                 )
-                + xproj_ref[d, i, :, 2 * hdim :]
+                + xproj_ref[d, i, :, 2 * hdim :].astype(jnp.float32)
             )
             for d in range(2)
         ]
         for d in range(2):
             z = zrs[d][:, :hdim]
             hs[d] = (1.0 - z) * hs[d] + z * cs[d]
-            out_ref[d, i, :, :] = hs[d]
+            out_ref[d, i, :, :] = hs[d].astype(dt)
     h_scr[0] = hs[0]
     h_scr[1] = hs[1]
 
@@ -290,17 +298,19 @@ def _bi_bwd_kernel(
         dwzr_scr[:] = jnp.zeros_like(dwzr_scr)
         dwh_scr[:] = jnp.zeros_like(dwh_scr)
 
+    dt = xproj_ref.dtype
     for d in range(2):
         dh_carry = dh_scr[d]
         dwzr_acc = dwzr_scr[d]
         dwh_acc = dwh_scr[d]
         for i in reversed(range(TBLK)):
-            h_prev = hprev_ref[d, i, :, :]
-            xzr = xproj_ref[d, i, :, : 2 * hdim]
-            xh = xproj_ref[d, i, :, 2 * hdim :]
+            h_prev = hprev_ref[d, i, :, :].astype(jnp.float32)
+            xzr = xproj_ref[d, i, :, : 2 * hdim].astype(jnp.float32)
+            xh = xproj_ref[d, i, :, 2 * hdim :].astype(jnp.float32)
             zr = jax.nn.sigmoid(
                 jnp.dot(
-                    h_prev, wzr_ref[d], preferred_element_type=jnp.float32
+                    hprev_ref[d, i, :, :], wzr_ref[d],
+                    preferred_element_type=jnp.float32,
                 )
                 + xzr
             )
@@ -308,15 +318,19 @@ def _bi_bwd_kernel(
             r = zr[:, hdim:]
             rh = r * h_prev
             c = jnp.tanh(
-                jnp.dot(rh, wh_ref[d], preferred_element_type=jnp.float32)
+                jnp.dot(
+                    rh.astype(dt), wh_ref[d],
+                    preferred_element_type=jnp.float32,
+                )
                 + xh
             )
 
-            dh = dys_ref[d, i, :, :] + dh_carry
+            dh = dys_ref[d, i, :, :].astype(jnp.float32) + dh_carry
             dz = dh * (c - h_prev)
             da_c = dh * z * (1.0 - c * c)
             drh = jnp.dot(
-                da_c, wh_ref[d].T, preferred_element_type=jnp.float32
+                da_c.astype(dt), wh_ref[d].T,
+                preferred_element_type=jnp.float32,
             )
             dr = drh * h_prev
             da_z = dz * z * (1.0 - z)
@@ -325,18 +339,21 @@ def _bi_bwd_kernel(
             dh_carry = (
                 drh * r
                 + jnp.dot(
-                    da_zr, wzr_ref[d].T, preferred_element_type=jnp.float32
+                    da_zr.astype(dt), wzr_ref[d].T,
+                    preferred_element_type=jnp.float32,
                 )
                 + dh * (1.0 - z)
             )
 
-            dxproj_ref[d, i, :, : 2 * hdim] = da_zr
-            dxproj_ref[d, i, :, 2 * hdim :] = da_c
+            dxproj_ref[d, i, :, : 2 * hdim] = da_zr.astype(dt)
+            dxproj_ref[d, i, :, 2 * hdim :] = da_c.astype(dt)
             dwzr_acc += jnp.dot(
-                h_prev.T, da_zr, preferred_element_type=jnp.float32
+                hprev_ref[d, i, :, :].T, da_zr.astype(dt),
+                preferred_element_type=jnp.float32,
             )
             dwh_acc += jnp.dot(
-                rh.T, da_c, preferred_element_type=jnp.float32
+                rh.astype(dt).T, da_c.astype(dt),
+                preferred_element_type=jnp.float32,
             )
         dwzr_scr[d] = dwzr_acc
         dwh_scr[d] = dwh_acc
@@ -344,9 +361,9 @@ def _bi_bwd_kernel(
 
     @pl.when(t == n - 1)
     def _():
-        dh0_ref[:] = dh_scr[:]
-        dwzr_ref[:] = dwzr_scr[:]
-        dwh_ref[:] = dwh_scr[:]
+        dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+        dwzr_ref[:] = dwzr_scr[:].astype(dwzr_ref.dtype)
+        dwh_ref[:] = dwh_scr[:].astype(dwh_ref.dtype)
 
 
 def _pad_time(a, lp):
@@ -377,7 +394,7 @@ def _bi_run_fwd(xproj2, h02, wzr2, wh2, interpret=False):
         out_specs=pl.BlockSpec(
             (2, TBLK, b, h), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((2, lp, b, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, lp, b, h), xproj2.dtype),
         scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -420,10 +437,10 @@ def _bi_run_bwd(xproj2, h_prevs2, dys2, wzr2, wh2, interpret=False):
             pl.BlockSpec((2, h, h), const3, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, lp, b, 3 * h), jnp.float32),
-            jax.ShapeDtypeStruct((2, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((2, h, 2 * h), jnp.float32),
-            jax.ShapeDtypeStruct((2, h, h), jnp.float32),
+            jax.ShapeDtypeStruct((2, lp, b, 3 * h), xproj2.dtype),
+            jax.ShapeDtypeStruct((2, b, h), h_prevs2.dtype),
+            jax.ShapeDtypeStruct((2, h, 2 * h), wzr2.dtype),
+            jax.ShapeDtypeStruct((2, h, h), wh2.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, b, h), jnp.float32),

@@ -99,4 +99,6 @@ def stack_apply(
                 rng, sub = jax.random.split(rng)
                 keep = jax.random.bernoulli(sub, 1.0 - rate, x.shape)
                 x = jnp.where(keep, x / (1.0 - rate), 0.0)
-    return jax.nn.log_softmax(x, axis=-1)
+    # log_softmax always in float32 — under bf16 mixed precision the
+    # logits are cast up so the NLL normalizer stays accurate.
+    return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)

@@ -22,11 +22,14 @@ from .masking import flip_sequences
 Params = Dict[str, Any]
 
 
-def _pallas_available(batch: int, hidden: int) -> bool:
+def _pallas_available(batch: int, hidden: int, dtype=jnp.float32) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     from .pallas import gru_scan as _gs
 
+    # bf16 tiles want 16 sublanes (f32: 8) — gate the batch accordingly.
+    if dtype == jnp.bfloat16 and batch % 16 != 0:
+        return False
     return _gs.supported(batch, hidden)
 
 
@@ -67,7 +70,7 @@ def gru_layer(
         h0 = jnp.zeros((x.shape[0], h_dim), x.dtype)
 
     use_pallas = backend == "pallas" or (
-        backend == "auto" and _pallas_available(x.shape[0], h_dim)
+        backend == "auto" and _pallas_available(x.shape[0], h_dim, x.dtype)
     )
     if use_pallas:
         from .pallas import gru_scan as _gs
@@ -150,7 +153,7 @@ def bigru_layer(
     """
     h_dim = params["fwd"]["w_zr"].shape[1] // 2
     use_pallas = backend == "pallas" or (
-        backend == "auto" and _pallas_available(x.shape[0], h_dim)
+        backend == "auto" and _pallas_available(x.shape[0], h_dim, x.dtype)
     )
     if use_pallas:
         from .pallas import gru_scan as _gs
@@ -165,7 +168,7 @@ def bigru_layer(
                 cells.gru_input_proj(params["bwd"], xb),
             ]
         )
-        h02 = jnp.zeros((2, x.shape[0], h_dim), jnp.float32)
+        h02 = jnp.zeros((2, x.shape[0], h_dim), x.dtype)
         wzr2 = jnp.stack(
             [params["fwd"]["w_zr"][:h_dim], params["bwd"]["w_zr"][:h_dim]]
         )

@@ -142,3 +142,40 @@ def test_trainer_resume(tmp_path):
     a = jax.tree.leaves(tr1.state[0])[0]
     b = jax.tree.leaves(tr2.state[0])[0]
     assert a.shape == b.shape
+
+
+def test_bfloat16_mixed_precision_matches_float32():
+    """compute_dtype='bfloat16' (bf16 IO/matmuls, f32 master params,
+    carries, and log-softmax) tracks the float32 forward closely and
+    trains with the same NLL trajectory at step level."""
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.models import registry
+
+    kw = dict(input_frame_size=8, hidden_frame_size=16,
+              output_frame_size=16, score_depth=24, state_depth=16,
+              mlp_depth=12, output_depth=7, feature_maps=0, filt_size=5,
+              penalty_lambda=0.0)
+    m32 = registry.build("chorowski", **kw)
+    m16 = registry.build("chorowski", compute_dtype="bfloat16", **kw)
+    params = m32.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    b, l, t, v = 2, 16, 5, 7
+    x = jnp.asarray(rng.randn(b, l, 8), jnp.float32)
+    x_len = jnp.asarray([16, 11])
+    y = jnp.asarray(rng.randint(0, v, (b, t)))
+    dm = jnp.ones((b, t), jnp.float32)
+    oh = jax.nn.one_hot(y, v) * dm[..., None]
+    o32 = m32.forward(params, x, x_len, oh, dm, train=False)
+    o16 = m16.forward(params, x, x_len, oh, dm, train=False)
+    assert o16["logprobs"].dtype == jnp.float32  # f32 log-softmax
+    np.testing.assert_allclose(
+        np.asarray(o16["logprobs"]), np.asarray(o32["logprobs"]), atol=0.05
+    )
+    # grads flow back to the float32 master params
+    def nll(model, p):
+        out = model.forward(p, x, x_len, oh, dm, train=False)
+        return -jnp.sum(out["logprobs"] * oh)
+    g = jax.grad(lambda p: nll(m16, p))(params)
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(g))
