@@ -339,15 +339,25 @@ def decode_teacher_forced(
             block_b = _as.choose_block(
                 b, loc_l, cfg.score_depth, cfg.annotation_depth, h.dtype
             )
-            s_seq, c_seq, alpha_seq = _as.attention_decode_scan(
+            common = (
                 vh, h, enc_mask, yin,
                 params["ws"]["w"], params["ws"]["b"][None, :],
                 params["w_e"][None, :],
                 params["c_in"]["w"], params["c_in"]["b"][None, :],
                 params["dec_in"]["w"], params["dec_in"]["b"][None, :],
                 params["cell"]["w_zr"], params["cell"]["w_h"],
-                block_b, interpret,
             )
+            if cfg.feature_maps > 0:
+                lc = params["loc_conv"]
+                s_seq, c_seq, alpha_seq = _as.attention_decode_scan_loc(
+                    *common,
+                    lc["w"][:, 0, :], lc["b"][None, :], params["u"],
+                    block_b, interpret,
+                )
+            else:
+                s_seq, c_seq, alpha_seq = _as.attention_decode_scan(
+                    *common, block_b, interpret,
+                )
             logprobs = apply_readout(
                 params, cfg, s_seq, c_seq, dropout_rng=dropout_rng, train=train
             )

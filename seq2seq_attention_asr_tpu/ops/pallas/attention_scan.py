@@ -44,18 +44,58 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30  # matches ops/masking.py
 
 
-def _step_core(vh, h, mask, yin_t, s_prev, w, dt):
+def _conv_pads(filt_size: int):
+    """Reference conv padding (Attention.lua:77-85): odd filters pad
+    (f-1)/2 both sides; even filters pad f/2 left, f/2-1 right."""
+    if filt_size % 2 == 1:
+        return (filt_size - 1) // 2, (filt_size - 1) // 2
+    return filt_size // 2, filt_size // 2 - 1
+
+
+def _location_term(alpha_prev, wconv, bconv, u, dt, pl, pr):
+    """UF = (conv1d(alpha_prev) + b) @ u on a (BB, L) block -> (BB, L, S).
+
+    The 1-in-channel conv is f shifted outer products in feature space
+    (FM is small), then one MXU matmul into score space. Returns
+    (uf, feat) — feat (BB, L, FM) is reused by the backward pass.
+    """
+    bb, l = alpha_prev.shape
+    f, fm = wconv.shape
+    ap = jnp.pad(alpha_prev, ((0, 0), (pl, pr)))
+    # Mosaic-safe conv: the minor-expand of an OFFSET lane slice is an
+    # unsupported reshape, so compute each tap's outer product at the
+    # full padded width (offset 0) and slice the 3-D result's sublane
+    # axis instead.
+    ap3 = ap[:, :, None]  # (BB, W, 1), offset 0
+    feat = jnp.broadcast_to(
+        bconv.astype(jnp.float32)[None, :, :], (bb, l, fm)
+    )
+    wc = wconv.astype(jnp.float32)
+    for j in range(f):
+        pj = ap3 * wc[j : j + 1, :][None, :, :]  # (BB, W, FM)
+        feat = feat + pj[:, j : j + l, :]
+    uf = jnp.dot(
+        feat.reshape(bb * l, fm).astype(dt), u,
+        preferred_element_type=jnp.float32,
+    ).reshape(bb, l, u.shape[1])
+    return uf, feat
+
+
+def _step_core(vh, h, mask, yin_t, s_prev, w, dt, uf=None):
     """Shared forward math for one decoder step on a (BB, ...) block.
 
     Returns (alpha, c, s_new, a) where a = tanh(z) is kept for reuse.
     All math runs float32; `dt` is the IO/matmul-operand dtype (bf16
     under mixed precision — halves HBM traffic, doubles MXU rate).
+    `uf` is the optional location-attention term (BB, L, S).
     """
     st = w["dec_w"].shape[1]
     ws = jnp.dot(
         s_prev.astype(dt), w["ws_w"], preferred_element_type=jnp.float32
     ) + w["ws_b"].astype(jnp.float32)
     z = vh.astype(jnp.float32) + ws[:, None, :]
+    if uf is not None:
+        z = z + uf
     a = jnp.tanh(z)
     e = jnp.sum(a * w["w_e"][0].astype(jnp.float32)[None, None, :], axis=-1)
     e = jnp.where(mask > 0, e, NEG_INF)
@@ -119,11 +159,48 @@ def _fwd_kernel(
     alpha_out[0] = alpha.astype(alpha_out.dtype)
 
 
+def _fwd_kernel_loc(
+    pl_pr,
+    vh_ref, h_ref, mask_ref, yin_ref,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    wconv, bconv, u_ref,
+    s_out, c_out, alpha_out,
+    s_scr, alpha_scr,
+):
+    """Location-aware variant: the conv-over-previous-alignment UF term
+    (Attention.lua:73-99) is fused into the step; alpha is carried in a
+    VMEM scratch (the reference's per-utterance alpha state,
+    Attention.lua:305-322, initialised to zeros)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+        alpha_scr[:] = jnp.zeros_like(alpha_scr)
+
+    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    dt = vh_ref.dtype
+    uf, _ = _location_term(
+        alpha_scr[:], wconv[:], bconv[:], u_ref[:], dt, *pl_pr
+    )
+    alpha, c, s_new, _ = _step_core(
+        vh_ref[:], h_ref[:], mask_ref[:].astype(jnp.float32), yin_ref[0],
+        s_scr[:], w, dt, uf=uf,
+    )
+    s_scr[:] = s_new
+    alpha_scr[:] = alpha
+    s_out[0] = s_new.astype(s_out.dtype)
+    c_out[0] = c.astype(c_out.dtype)
+    alpha_out[0] = alpha.astype(alpha_out.dtype)
+
+
 def _run_fwd(
     vh, h, enc_mask, yin,
     ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
-    block_b, interpret,
+    block_b, interpret, loc=None,
 ):
+    """loc: optional (wconv (f, FM), bconv (1, FM), u (FM, S)) for the
+    fused location-aware (feature_maps > 0) attention."""
     b, l, s_dim = vh.shape
     a_dim = h.shape[2]
     t_len = yin.shape[1]
@@ -136,24 +213,36 @@ def _run_fwd(
     # (1, bb, X) — the TPU tiling wants the last two dims (sublane,
     # lane) aligned, so time must be the leading (blocked) axis.
     yin_t = jnp.swapaxes(yin, 0, 1)  # (T, B, St)
+    in_specs = [
+        pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, l), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
+        for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    ]
+    args = [vh, h, enc_mask, yin_t, ws_w, ws_b, w_e, c_w, c_b, dec_w,
+            dec_b, gru_wzr, gru_wh]
+    scratch = [pltpu.VMEM((bb, st), jnp.float32)]
+    if loc is None:
+        kernel = _fwd_kernel
+    else:
+        wconv, bconv, u = loc
+        kernel = functools.partial(
+            _fwd_kernel_loc, _conv_pads(wconv.shape[0])
+        )
+        in_specs += [
+            pl.BlockSpec(wconv.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bconv.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(u.shape, c2, memory_space=pltpu.VMEM),
+        ]
+        args += [wconv, bconv, u]
+        scratch.append(pltpu.VMEM((bb, l), jnp.float32))
     s_seq, c_seq, alpha_seq = pl.pallas_call(
-        _fwd_kernel,
+        kernel,
         grid=(nb, t_len),
-        in_specs=[
-            pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, l), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(ws_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(ws_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_e.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dec_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dec_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(gru_wzr.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(gru_wh.shape, c2, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bb, a_dim), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
@@ -164,7 +253,7 @@ def _run_fwd(
             jax.ShapeDtypeStruct((t_len, b, a_dim), vh.dtype),
             jax.ShapeDtypeStruct((t_len, b, l), vh.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((bb, st), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -174,7 +263,7 @@ def _run_fwd(
             bytes_accessed=4 * (b * l * (s_dim + a_dim) + b * t_len * (st + a_dim + l)),
             transcendentals=b * t_len * l * s_dim,
         ),
-    )(vh, h, enc_mask, yin_t, ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    )(*args)
     sw = lambda a: jnp.swapaxes(a, 0, 1)
     return sw(s_seq), sw(c_seq), sw(alpha_seq)
 
@@ -310,6 +399,175 @@ def _bwd_kernel(
     ds_scr[:] = ds_prev
 
 
+def _bwd_kernel_loc(
+    pl_pr,
+    vh_ref, h_ref, mask_ref, yin_ref,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    wconv, bconv, u_ref,
+    sprev_ref, aprev_ref, c_ref, ds_ref, dc_ref, dalpha_ref,
+    dvh_ref, dh_ref, dyin_ref,
+    dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dgru_wzr, dgru_wh,
+    dwconv_ref, dbconv_ref, du_ref,
+    ds_scr, dalpha_scr,
+):
+    """Location-aware backward: recomputes the UF term from the saved
+    previous alignment, adds the alpha-chain gradient (alpha_t feeds
+    step t+1's conv — carried in dalpha_scr across the reversed sweep),
+    and accumulates conv/bias/u grads."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    n = pl.num_programs(1)
+    st = dec_w.shape[1]
+    pls, prs = pl_pr
+
+    @pl.when(t == 0)
+    def _():
+        ds_scr[:] = jnp.zeros_like(ds_scr)
+        dalpha_scr[:] = jnp.zeros_like(dalpha_scr)
+        dvh_ref[:] = jnp.zeros_like(dvh_ref)
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _():
+        dws_w[:] = jnp.zeros_like(dws_w)
+        dws_b[:] = jnp.zeros_like(dws_b)
+        dw_e[:] = jnp.zeros_like(dw_e)
+        dc_w[:] = jnp.zeros_like(dc_w)
+        dc_b[:] = jnp.zeros_like(dc_b)
+        ddec_w[:] = jnp.zeros_like(ddec_w)
+        ddec_b[:] = jnp.zeros_like(ddec_b)
+        dgru_wzr[:] = jnp.zeros_like(dgru_wzr)
+        dgru_wh[:] = jnp.zeros_like(dgru_wh)
+        dwconv_ref[:] = jnp.zeros_like(dwconv_ref)
+        dbconv_ref[:] = jnp.zeros_like(dbconv_ref)
+        du_ref[:] = jnp.zeros_like(du_ref)
+
+    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    dt = vh_ref.dtype
+    f32 = jnp.float32
+    vh = vh_ref[:].astype(f32)
+    h = h_ref[:].astype(f32)
+    mask = mask_ref[:].astype(f32)
+    yin_t = yin_ref[0].astype(f32)
+    rev_is_first = t == n - 1  # reversed-time step 0
+    s_prev = jnp.where(rev_is_first, 0.0, sprev_ref[0].astype(f32))
+    alpha_prev = jnp.where(rev_is_first, 0.0, aprev_ref[0].astype(f32))
+    c_saved = c_ref[0].astype(f32)
+    bb, l = alpha_prev.shape
+
+    # --- recompute the step ---
+    mm = lambda x, ww: jnp.dot(x.astype(dt), ww, preferred_element_type=f32)
+    mmT = lambda x, ww: jnp.dot(
+        x.astype(dt), ww.T, preferred_element_type=f32
+    )
+    uf, feat = _location_term(alpha_prev, wconv[:], bconv[:], u_ref[:], dt,
+                              pls, prs)
+    ws = mm(s_prev, w["ws_w"]) + w["ws_b"].astype(f32)
+    z = vh + ws[:, None, :] + uf
+    a = jnp.tanh(z)
+    e = jnp.sum(a * w["w_e"][0].astype(f32)[None, None, :], axis=-1)
+    e = jnp.where(mask > 0, e, NEG_INF)
+    m = jnp.max(e, axis=-1, keepdims=True)
+    p = jnp.exp(e - m) * (mask > 0)
+    alpha = p / jnp.sum(p, axis=-1, keepdims=True)
+    cc = mm(c_saved, w["c_w"]) + w["c_b"].astype(f32)
+    rr = jnp.concatenate([cc, yin_t], axis=-1)
+    r = mm(rr, w["dec_w"]) + w["dec_b"].astype(f32)
+    sr = jnp.concatenate([s_prev, r], axis=-1)
+    zr = jax.nn.sigmoid(mm(sr, w["gru_wzr"]))
+    zg, rg = zr[:, :st], zr[:, st:]
+    rgs = rg * s_prev
+    cand_in = jnp.concatenate([rgs, r], axis=-1)
+    cand = jnp.tanh(mm(cand_in, w["gru_wh"]))
+
+    # --- backward through the GRU ---
+    ds = ds_ref[0].astype(f32) + ds_scr[:]
+    dzg = ds * (cand - s_prev)
+    dcand = ds * zg
+    da_cand = dcand * (1.0 - cand * cand)
+    dcand_in = mmT(da_cand, w["gru_wh"])
+    drgs = dcand_in[:, :st]
+    dr = dcand_in[:, st:]
+    drg = drgs * s_prev
+    da_z = dzg * zg * (1.0 - zg)
+    da_r = drg * rg * (1.0 - rg)
+    da_zr = jnp.concatenate([da_z, da_r], axis=-1)
+    dsr = mmT(da_zr, w["gru_wzr"])
+    ds_prev = dsr[:, :st] + drgs * rg + ds * (1.0 - zg)
+    dr = dr + dsr[:, st:]
+    dgru_wh[:] += jnp.dot(
+        cand_in.astype(dt).T, da_cand.astype(dt), preferred_element_type=f32
+    )
+    dgru_wzr[:] += jnp.dot(
+        sr.astype(dt).T, da_zr.astype(dt), preferred_element_type=f32
+    )
+
+    # --- backward through the decoder-input MLP ---
+    drr = mmT(dr, w["dec_w"])
+    ddec_w[:] += jnp.dot(
+        rr.astype(dt).T, dr.astype(dt), preferred_element_type=f32
+    )
+    ddec_b[:] += jnp.sum(dr, axis=0, keepdims=True)
+    dcc = drr[:, :st]
+    dyin_ref[0] = drr[:, st:].astype(dyin_ref.dtype)
+    dc = mmT(dcc, w["c_w"])
+    dc_w[:] += jnp.dot(
+        c_saved.astype(dt).T, dcc.astype(dt), preferred_element_type=f32
+    )
+    dc_b[:] += jnp.sum(dcc, axis=0, keepdims=True)
+    dc = dc + dc_ref[0].astype(f32)
+
+    # --- backward through the context + the alpha carry from step t+1
+    # (alpha_t fed step t+1's location conv; that grad arrives here) ---
+    dalpha = (
+        jnp.sum(dc[:, None, :] * h, axis=-1)
+        + dalpha_ref[0].astype(f32)
+        + dalpha_scr[:]
+    )
+    dh_ref[:] += alpha[:, :, None] * dc[:, None, :]
+
+    # --- backward through the masked softmax ---
+    de = alpha * (dalpha - jnp.sum(dalpha * alpha, axis=-1, keepdims=True))
+
+    # --- backward through the energies ---
+    da = de[:, :, None] * w["w_e"][0].astype(f32)[None, None, :]
+    dw_e[:] += jnp.sum(a * de[:, :, None], axis=(0, 1))[None, :]
+    dz = da * (1.0 - a * a)
+    dvh_ref[:] += dz
+    dws = jnp.sum(dz, axis=1)  # (BB, S)
+    ds_prev = ds_prev + mmT(dws, w["ws_w"])
+    dws_w[:] += jnp.dot(
+        s_prev.astype(dt).T, dws.astype(dt), preferred_element_type=f32
+    )
+    dws_b[:] += jnp.sum(dz, axis=(0, 1))[None, :]
+
+    # --- backward through the location term ---
+    fm = wconv.shape[1]
+    dz_flat = dz.reshape(bb * l, dz.shape[2])
+    dfeat = mmT(dz_flat, u_ref[:]).reshape(bb, l, fm)  # dz @ u^T
+    du_ref[:] += jnp.dot(
+        feat.reshape(bb * l, fm).astype(dt).T, dz_flat.astype(dt),
+        preferred_element_type=f32,
+    )
+    dbconv_ref[:] += jnp.sum(dfeat, axis=(0, 1))[None, :]
+    ap3 = jnp.pad(alpha_prev, ((0, 0), (pls, prs)))[:, :, None]
+    f = wconv.shape[0]
+    dap = jnp.zeros((bb, l + f - 1), f32)  # grad wrt padded alpha
+    for j in range(f):
+        # dwconv[j] = sum_{b,l} ap[b, l+j] * dfeat[b, l, :] — pad dfeat
+        # up to the full width so the ap3 operand stays offset-0.
+        dfp = jnp.pad(dfeat, ((0, 0), (j, f - 1 - j), (0, 0)))
+        dwconv_ref[j : j + 1, :] += jnp.sum(ap3 * dfp, axis=(0, 1))[None, :]
+        # g_j[b, l] = sum_m dfeat[b, l, m] wconv[j, m]; dap[k] += g_j[k-j]
+        g_j = jnp.sum(
+            dfeat * wconv[j : j + 1, :].astype(f32)[None, :, :], axis=-1
+        )
+        dap = dap + jnp.pad(g_j, ((0, 0), (j, f - 1 - j)))
+    dalpha_scr[:] = dap[:, pls : pls + l]
+
+    ds_scr[:] = ds_prev
+
+
 def _run_bwd(
     vh, h, enc_mask, yin,
     ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
@@ -399,6 +657,148 @@ def _run_bwd(
                gru_wzr, gru_wh)
     outs = [o.astype(p.dtype) for o, p in zip(outs, primals)]
     return tuple(outs)
+
+
+def _run_bwd_loc(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    wconv, bconv, u,
+    s_seq, c_seq, alpha_seq, ds_seq, dc_seq, dalpha_seq,
+    block_b, interpret,
+):
+    b, l, s_dim = vh.shape
+    a_dim = h.shape[2]
+    t_len = yin.shape[1]
+    st = dec_w.shape[1]
+    bb = min(block_b, b)
+    nb = b // bb
+    c2 = lambda i, t: (0, 0)
+    rev = lambda i, t: (t_len - 1 - t, i, 0)
+    prev = lambda i, t: (jnp.maximum(t_len - 2 - t, 0), i, 0)
+    sw = lambda a: jnp.swapaxes(a, 0, 1)
+    per_step = lambda x_dim: pl.BlockSpec(
+        (1, bb, x_dim), rev, memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, l), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        per_step(st),
+    ] + [
+        pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
+        for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr,
+                    gru_wh, wconv, bconv, u)
+    ] + [
+        pl.BlockSpec((1, bb, st), prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bb, l), prev, memory_space=pltpu.VMEM),
+        per_step(a_dim), per_step(st), per_step(a_dim), per_step(l),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_loc, _conv_pads(wconv.shape[0])),
+        grid=(nb, t_len),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            per_step(st),
+        ] + [
+            pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
+            for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
+                        gru_wzr, gru_wh, wconv, bconv, u)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(vh.shape, jnp.float32),
+            jax.ShapeDtypeStruct(h.shape, jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, st), jnp.float32),
+        ] + [
+            jax.ShapeDtypeStruct(wgt.shape, jnp.float32)
+            for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
+                        gru_wzr, gru_wh, wconv, bconv, u)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, st), jnp.float32),
+            pltpu.VMEM((bb, l), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        vh, h, enc_mask, sw(yin),
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        wconv, bconv, u,
+        sw(s_seq), sw(alpha_seq), sw(c_seq), sw(ds_seq), sw(dc_seq),
+        sw(dalpha_seq),
+    )
+    outs = list(outs)
+    outs[2] = jnp.swapaxes(outs[2], 0, 1)  # dyin back to (B, T, St)
+    primals = (vh, h, yin, ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
+               gru_wzr, gru_wh, wconv, bconv, u)
+    return tuple(o.astype(p.dtype) for o, p in zip(outs, primals))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17))
+def attention_decode_scan_loc(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    wconv, bconv, u,
+    block_b=8, interpret=False,
+):
+    """Fused location-aware teacher-forced decoder (feature_maps > 0,
+    GRU cell): the conv over the previous alignment (Attention.lua:
+    73-99) runs inside the kernel with the alignment carried in VMEM.
+    wconv: (f, FM) conv taps; bconv: (1, FM); u: (FM, S)."""
+    return _run_fwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        block_b, interpret, loc=(wconv, bconv, u),
+    )
+
+
+def _vjp_fwd_loc(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    wconv, bconv, u, block_b, interpret,
+):
+    out = _run_fwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        block_b, interpret, loc=(wconv, bconv, u),
+    )
+    s_seq, c_seq, alpha_seq = out
+    res = (
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        wconv, bconv, u, s_seq, c_seq, alpha_seq,
+    )
+    return out, res
+
+
+def _vjp_bwd_loc(block_b, interpret, res, grads):
+    (
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        wconv, bconv, u, s_seq, c_seq, alpha_seq,
+    ) = res
+    ds_seq, dc_seq, dalpha_seq = grads
+    outs = _run_bwd_loc(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+        wconv, bconv, u,
+        s_seq, c_seq, alpha_seq, ds_seq, dc_seq, dalpha_seq,
+        block_b, interpret,
+    )
+    (dvh, dh, dyin, dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b,
+     dgru_wzr, dgru_wh, dwconv, dbconv, du) = outs
+    dmask = jnp.zeros_like(enc_mask)
+    return (
+        dvh, dh, dmask, dyin,
+        dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dgru_wzr,
+        dgru_wh, dwconv, dbconv, du,
+    )
+
+
+attention_decode_scan_loc.defvjp(_vjp_fwd_loc, _vjp_bwd_loc)
 
 
 def _run_bwd_xla(
@@ -601,13 +1001,13 @@ def choose_block(batch: int, l: int, s_dim: int, a_dim: int,
 
 
 def supported(cfg, batch: int, l: int = 144, dtype=jnp.float32) -> bool:
-    """Usable for this config/batch? feature_maps=0, GRU, no penalty
+    """Usable for this config/batch? GRU cell (plain or location-aware
+    attention — feature_maps > 0 runs the _loc kernels), no penalty
     ramp (the monotonic penalty is gradient-only and handled by the XLA
     path), tile-friendly L, and a (batch, L) block that fits in VMEM."""
     sublane = 16 if dtype == jnp.bfloat16 else 8
     return (
-        cfg.feature_maps == 0
-        and cfg.cell == "gru"
+        cfg.cell == "gru"
         and not (cfg.mono_align and cfg.penalty_lambda > 0.0)
         and batch >= 8
         and l % sublane == 0

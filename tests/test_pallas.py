@@ -302,3 +302,43 @@ def test_logmel_pallas_matches_xla_batched():
     b = np.asarray(F.logmel_jax(jnp.asarray(y), 16000, mean=mean, std=std))
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_attention_scan_location_aware_matches_xla():
+    """Fused location-aware decoder (feature_maps > 0: conv over the
+    previous alignment inside the kernel, alpha carried in VMEM) ==
+    XLA scan path, forward and all gradients."""
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=24, filt_size=5, feature_maps=6, state_depth=16,
+        annotation_depth=20, output_depth=7,
+        readout=(("maxout", 12, 7), ("linear", 7)), cell="gru",
+        mono_align=False, penalty_lambda=0.0,
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    b, l, t, v = 8, 16, 5, 7
+    h = jnp.asarray(rng.randn(b, l, 20), jnp.float32)
+    enc_len = jnp.asarray([16, 12, 16, 9, 16, 16, 11, 16])
+    oh = jax.nn.one_hot(jnp.asarray(rng.randint(0, v, (b, t))), v)
+    dm = jnp.ones((b, t), jnp.float32)
+    o_x = att.decode_teacher_forced(params, cfg, h, enc_len, oh, dm,
+                                    backend="xla")
+    o_p = att.decode_teacher_forced(params, cfg, h, enc_len, oh, dm,
+                                    backend="pallas")
+    np.testing.assert_allclose(np.asarray(o_p["logprobs"]),
+                               np.asarray(o_x["logprobs"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_p["alpha"]),
+                               np.asarray(o_x["alpha"]), atol=2e-6)
+
+    def loss(be, p, hh):
+        out = att.decode_teacher_forced(p, cfg, hh, enc_len, oh, dm,
+                                        backend=be)
+        return -jnp.sum(out["logprobs"] * oh) + jnp.sum(out["alpha"] ** 2)
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(params, h)
+    gp = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(params, h)
+    for a, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
