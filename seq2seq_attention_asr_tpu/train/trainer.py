@@ -354,11 +354,26 @@ class Trainer:
             jnp.asarray(batch.dec_mask),
         )
 
+    # Device/host sync stride: metrics accumulate ON DEVICE and are read
+    # back (forcing a sync) only every this many batches, so dispatch
+    # stays ahead of the chip instead of serializing on a float() read
+    # per step. The NaN tripwire fires with this granularity.
+    SYNC_EVERY = 50
+
     def train_epoch(self, ds, batcher, epoch: int) -> Dict[str, float]:
-        agg = {"loss": 0.0, "nll": 0.0, "correct": 0.0, "total": 0.0,
-               "grad_norm": 0.0, "penalty": 0.0}
+        keys = ("loss", "nll", "correct", "total", "grad_norm", "penalty")
+        agg = {k: 0.0 for k in keys}
+        agg_dev = None  # device-side running sums
         n_batches = 0
         n_samples = 0
+
+        def drain():
+            nonlocal agg_dev
+            if agg_dev is not None:
+                for k in keys:
+                    agg[k] += float(agg_dev[k])
+                agg_dev = None
+
         t0 = time.time()
         for batch in batcher.batches(
             ds, shuffle=True, seed=self.tcfg.seed + epoch,
@@ -367,19 +382,32 @@ class Trainer:
             self.state, m = self.step_fn(self.state, self._batch_arrays(batch))
             n_batches += 1
             n_samples += len(batch.uids)
-            for k in ("loss", "nll", "correct", "total", "grad_norm", "penalty"):
-                agg[k] += float(m[k])
-            if self.tcfg.nan_debug and not math.isfinite(agg["loss"]):
-                # TrainUtils.lua:55-93 tripwire parity: abort with the
-                # offending parameter paths instead of training on.
-                from ..utils import debug as _dbg
+            md = {k: m[k] for k in keys}
+            agg_dev = md if agg_dev is None else jax.tree.map(
+                jnp.add, agg_dev, md
+            )
+            if n_batches % self.SYNC_EVERY == 0:
+                drain()
+                if self.tcfg.nan_debug and not math.isfinite(agg["loss"]):
+                    # TrainUtils.lua:55-93 tripwire parity: abort with
+                    # the offending parameter paths, not train on.
+                    from ..utils import debug as _dbg
 
-                bad = _dbg.find_nonfinite(self.state[0])
-                raise _dbg.NonFiniteError(
-                    f"loss went non-finite at epoch {epoch} batch "
-                    f"{n_batches} (uids {list(batch.uids)[:4]}...)",
-                    bad or ["<params finite; non-finite loss only>"],
-                )
+                    bad = _dbg.find_nonfinite(self.state[0])
+                    raise _dbg.NonFiniteError(
+                        f"loss went non-finite by epoch {epoch} batch "
+                        f"{n_batches} (uids {list(batch.uids)[:4]}...)",
+                        bad or ["<params finite; non-finite loss only>"],
+                    )
+        drain()
+        if self.tcfg.nan_debug and not math.isfinite(agg["loss"]):
+            from ..utils import debug as _dbg
+
+            bad = _dbg.find_nonfinite(self.state[0])
+            raise _dbg.NonFiniteError(
+                f"loss went non-finite in epoch {epoch}",
+                bad or ["<params finite; non-finite loss only>"],
+            )
         dt = time.time() - t0
         out = {
             "epoch": epoch,
@@ -397,7 +425,7 @@ class Trainer:
         """Teacher-forced NLL/accuracy + beam-search PER/CER
         (timit.lua:368-417)."""
         params = eval_params(self.tcfg, self.state[0])
-        nll = correct = total = n = 0.0
+        acc_dev = None  # device-side running sums (one sync at the end)
         dists, tlens = [], []
         t0 = time.time()
         first = True
@@ -409,10 +437,10 @@ class Trainer:
                 self._maybe_dump_attention(params, batch)
             arrs = self._batch_arrays(batch)
             m = self.eval_fn(params, arrs)
-            nll += float(m["nll"])
-            correct += float(m["correct"])
-            total += float(m["total"])
-            n += float(m["n"])
+            md = {k: m[k] for k in ("nll", "correct", "total", "n")}
+            acc_dev = md if acc_dev is None else jax.tree.map(
+                jnp.add, acc_dev, md
+            )
             if decode:
                 x, x_len, y, _ = arrs
                 # eos = final target token (timit.lua:398)
@@ -435,9 +463,11 @@ class Trainer:
                         metrics_lib.edit_distance(p39, t39) / max(len(t39), 1)
                     )
                     tlens.append(len(t39))
+        acc = {k: float(v) for k, v in (acc_dev or {}).items()}
         out = {
-            "valid_nll": nll / max(n, 1.0),
-            "valid_accuracy": correct / max(total, 1.0),
+            "valid_nll": acc.get("nll", 0.0) / max(acc.get("n", 0.0), 1.0),
+            "valid_accuracy": acc.get("correct", 0.0)
+            / max(acc.get("total", 0.0), 1.0),
             "valid_seconds": time.time() - t0,
         }
         if decode and dists:
