@@ -16,7 +16,9 @@ labelmask, timit.lua:262) happens on device in the train step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Optional, Sequence, Tuple
+import queue
+import threading
+from typing import Any, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -118,3 +120,73 @@ class BucketedBatcher:
             x=x, x_len=x_len, y=y, y_len=y_len, y39=y39,
             uids=[ds.uids[i] for i in idxs],
         )
+
+
+@dataclasses.dataclass
+class DeviceBatch:
+    """A Batch whose step inputs already live on device.
+
+    The feeder thread did the host->device transfer (and the dec_mask
+    expansion) while the previous step was still running, so the train
+    loop never blocks on input marshalling. y39/y_len stay host-side
+    (they feed the host PER scorer).
+    """
+
+    x: Any
+    x_len: Any
+    y: Any
+    dec_mask: Any
+    y_len: np.ndarray
+    y39: Optional[np.ndarray]
+    uids: List[str]
+
+
+class Prefetcher:
+    """Bounded-depth async prefetch over a Batch iterator.
+
+    The reference loads each utterance synchronously inside the train
+    loop (timit.lua:215-247). Here a daemon thread pads + transfers
+    `depth` batches ahead; with JAX's async dispatch the device is
+    never input-starved. The native C++ packer (native/packing.py) is
+    used by the upstream batcher where available.
+    """
+
+    _DONE = object()
+
+    def __init__(self, it: Iterator[Batch], depth: int = 2):
+        import jax
+
+        self._jax = jax
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._thread = threading.Thread(
+            target=self._feed, args=(it,), daemon=True
+        )
+        self._thread.start()
+
+    def _feed(self, it):
+        jax = self._jax
+        try:
+            for b in it:
+                dev = DeviceBatch(
+                    x=jax.device_put(b.x),
+                    x_len=jax.device_put(b.x_len),
+                    y=jax.device_put(b.y),
+                    dec_mask=jax.device_put(b.dec_mask),
+                    y_len=b.y_len,
+                    y39=b.y39,
+                    uids=b.uids,
+                )
+                self._q.put(dev)
+        except BaseException as e:  # surface feeder errors to the consumer
+            self._q.put(e)
+            return
+        self._q.put(self._DONE)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item

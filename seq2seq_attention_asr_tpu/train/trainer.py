@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data import batching
 from ..decode import beam as beam_lib
 from ..decode import metrics as metrics_lib
 from . import awn as awn_lib
@@ -57,6 +58,7 @@ class TrainConfig:
     eval_len_factor: float = 1.0  # beam maxseqlen = factor * L (2.0 for librispeech)
     dump_attention: bool = False  # per-epoch alpha/Ws/Vh dump (timit.lua:540-550)
     nan_debug: bool = True  # NaN tripwire (TrainUtils.lua:55-93 parity)
+    prefetch: int = 2  # async feeder-thread depth (0 disables)
     seed: int = 1
 
 
@@ -375,10 +377,13 @@ class Trainer:
                 agg_dev = None
 
         t0 = time.time()
-        for batch in batcher.batches(
+        it = batcher.batches(
             ds, shuffle=True, seed=self.tcfg.seed + epoch,
             max_samples=self.tcfg.max_samples,
-        ):
+        )
+        if self.tcfg.prefetch > 0:
+            it = batching.Prefetcher(it, depth=self.tcfg.prefetch)
+        for batch in it:
             self.state, m = self.step_fn(self.state, self._batch_arrays(batch))
             n_batches += 1
             n_samples += len(batch.uids)
@@ -429,9 +434,12 @@ class Trainer:
         dists, tlens = [], []
         t0 = time.time()
         first = True
-        for batch in batcher.batches(
+        eval_it = batcher.batches(
             ds, shuffle=False, max_samples=self.tcfg.max_samples
-        ):
+        )
+        if self.tcfg.prefetch > 0:
+            eval_it = batching.Prefetcher(eval_it, depth=self.tcfg.prefetch)
+        for batch in eval_it:
             if first:
                 first = False
                 self._maybe_dump_attention(params, batch)

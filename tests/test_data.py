@@ -202,3 +202,41 @@ def test_pca_fit_apply():
     proj = features.pca_apply(feats, comps4, mu4)
     rec = proj[0] @ comps4.T + mu4
     np.testing.assert_allclose(rec, feats[0], atol=1e-4)
+
+
+def test_prefetcher_preserves_batches_and_order():
+    """Prefetcher (async feeder thread + device_put) yields the same
+    batches in the same order, with feeder errors re-raised."""
+    import jax.numpy as jnp
+    import pytest
+
+    from seq2seq_attention_asr_tpu.data import batching
+
+    rng = np.random.RandomState(0)
+    raw = [
+        batching.Batch(
+            x=rng.randn(2, 8, 3).astype(np.float32),
+            x_len=np.array([8, 5], np.int32),
+            y=rng.randint(0, 5, (2, 4)).astype(np.int32),
+            y_len=np.array([4, 2], np.int32),
+            y39=None,
+            uids=[f"u{i}a", f"u{i}b"],
+        )
+        for i in range(5)
+    ]
+    got = list(batching.Prefetcher(iter(raw), depth=2))
+    assert len(got) == 5
+    for b, g in zip(raw, got):
+        np.testing.assert_array_equal(np.asarray(g.x), b.x)
+        np.testing.assert_array_equal(np.asarray(g.y), b.y)
+        np.testing.assert_array_equal(np.asarray(g.dec_mask), b.dec_mask)
+        assert g.uids == b.uids
+
+    def boom():
+        yield raw[0]
+        raise RuntimeError("feeder exploded")
+
+    it = iter(batching.Prefetcher(boom(), depth=1))
+    next(it)
+    with pytest.raises(RuntimeError, match="feeder exploded"):
+        next(it)
