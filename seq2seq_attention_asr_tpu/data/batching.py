@@ -46,9 +46,13 @@ def _round_up(n: int, boundaries: Sequence[int]) -> int:
 
 
 def make_buckets(
-    lengths: Sequence[int], n_buckets: int = 8, multiple: int = 8
+    lengths: Sequence[int], n_buckets: int = 8, multiple: int = 16
 ) -> List[int]:
-    """Quantile-based bucket boundaries, rounded up to `multiple`."""
+    """Quantile-based bucket boundaries, rounded up to `multiple`.
+
+    16 keeps every bucket eligible for the fused bf16 decoder kernel
+    (bf16 tiles want 16 sublanes on the encoder axis); the extra
+    padding vs 8 is negligible."""
     qs = np.quantile(np.asarray(lengths), np.linspace(0, 1, n_buckets + 1)[1:])
     out = sorted({int(-(-q // multiple) * multiple) for q in qs})
     return out
@@ -158,10 +162,24 @@ class Prefetcher:
 
         self._jax = jax
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._feed, args=(it,), daemon=True
         )
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when the consumer has closed us —
+        otherwise an abandoned iterator (e.g. the NaN tripwire raising
+        mid-epoch) would park this thread on a full queue forever,
+        pinning `depth` device-resident batches."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
 
     def _feed(self, it):
         jax = self._jax
@@ -176,17 +194,32 @@ class Prefetcher:
                     y39=b.y39,
                     uids=b.uids,
                 )
-                self._q.put(dev)
+                if not self._put(dev):
+                    return
         except BaseException as e:  # surface feeder errors to the consumer
-            self._q.put(e)
+            self._put(e)
             return
-        self._q.put(self._DONE)
+        self._put(self._DONE)
+
+    def close(self):
+        """Stop the feeder and release queued batches. Idempotent."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Runs on normal exhaustion, consumer exceptions, and
+            # generator close — always reaps the feeder.
+            self.close()

@@ -187,17 +187,21 @@ def logmel_stacked_np(
     return np.stack([lm.T, d1.T, d2.T], axis=0)
 
 
-def cqt_np(
-    y: np.ndarray, sr: int, n_bins: int = 84, hop: int = HOP, nfreqs: Optional[int] = None
-) -> np.ndarray:
-    """Pseudo-CQT variant of preprocess_timit.py:228-240: (L, 3*nb+1)."""
+def _cqt_parts(y: np.ndarray, sr: int, n_bins: int, hop: int, nfreqs):
+    """Shared pseudo-CQT pipeline: power spectrum, sqrt-CQT, deltas."""
     S = np.abs(stft_np(y, N_FFT, hop)) ** 2
     fb, _ = pseudo_cqt_filterbank(sr, N_FFT, n_bins)
     cqt = np.sqrt(fb @ S)
     if nfreqs is not None:
         cqt = cqt[:nfreqs]
-    d1 = delta_np(cqt, order=1)
-    d2 = delta_np(cqt, order=2)
+    return S, cqt, delta_np(cqt, order=1), delta_np(cqt, order=2)
+
+
+def cqt_np(
+    y: np.ndarray, sr: int, n_bins: int = 84, hop: int = HOP, nfreqs: Optional[int] = None
+) -> np.ndarray:
+    """Pseudo-CQT variant of preprocess_timit.py:228-240: (L, 3*nb+1)."""
+    S, cqt, d1, d2 = _cqt_parts(y, sr, n_bins, hop, nfreqs)
     energy = rms_energy_np(S)[None, :]
     return np.vstack([cqt, d1, d2, energy]).T
 
@@ -207,13 +211,7 @@ def cqt_stacked_np(
 ) -> np.ndarray:
     """(3, L, nb) channel-stacked pseudo-CQT/delta/delta-delta — the
     CQT_stacked dataset variant (preprocess_timit.py:241-253)."""
-    S = np.abs(stft_np(y, N_FFT, hop)) ** 2
-    fb, _ = pseudo_cqt_filterbank(sr, N_FFT, n_bins)
-    cqt = np.sqrt(fb @ S)
-    if nfreqs is not None:
-        cqt = cqt[:nfreqs]
-    d1 = delta_np(cqt, order=1)
-    d2 = delta_np(cqt, order=2)
+    _, cqt, d1, d2 = _cqt_parts(y, sr, n_bins, hop, nfreqs)
     return np.stack([cqt.T, d1.T, d2.T], axis=0)
 
 
@@ -250,6 +248,24 @@ def normalize_corpus(train_feats, *other_splits, pad: int = 10):
 # ---------------------------------------------------------------------------
 # JAX on-device batched path
 # ---------------------------------------------------------------------------
+
+
+def delta_batched_jax(x, width: int = 9):
+    """Batched on-device delta: (B, L, D) -> (B, L, D).
+
+    Twin of delta_np (width-9 centered ramp, edge pad, unnormalized) —
+    the single source of truth for both the XLA (logmel_jax) and fused
+    Pallas (ops/pallas/logmel.py) front ends.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    half = width // 2
+    kernel = jnp.asarray(np.arange(-half, half + 1, dtype=np.float32))
+    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
+    idxs = np.arange(x.shape[1])[:, None] + np.arange(2 * half + 1)[None, :]
+    return jnp.einsum("blkd,k->bld", xp[:, idxs], kernel,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def logmel_jax(
@@ -291,17 +307,8 @@ def logmel_jax(
     energy = jnp.sqrt(jnp.mean(S, axis=-1, keepdims=True))
     spectr = jnp.concatenate([lm, energy], axis=-1)  # (B, L, nf+1)
 
-    half = 4
-    kernel = jnp.asarray(np.arange(-half, half + 1, dtype=np.float32))
-
-    def delta(x):
-        xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
-        idxs = np.arange(x.shape[1])[:, None] + np.arange(2 * half + 1)[None, :]
-        return jnp.einsum("blkd,k->bld", xp[:, idxs], kernel,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    d1 = delta(spectr)
-    d2 = delta(d1)
+    d1 = delta_batched_jax(spectr)
+    d2 = delta_batched_jax(d1)
     feats = jnp.concatenate([spectr, d1, d2], axis=-1)
     if mean is not None:
         feats = (feats - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)

@@ -38,6 +38,8 @@ class ConvBiLSTMConfig:
     mono_align: bool = True
     peepholes: bool = False
     scan_unroll: int = 1
+    # "bfloat16": bf16 compute with f32 master params and log-softmax
+    compute_dtype: str = "float32"
 
     @property
     def annotation_depth(self) -> int:
@@ -107,6 +109,13 @@ def forward(
     dropout_rng: Optional[jax.Array] = None,
     train: bool = False,
 ) -> Dict[str, jnp.ndarray]:
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.float32:
+        cast = lambda a: a.astype(dt) if a.dtype == jnp.float32 else a
+        params = jax.tree.map(cast, params)
+        x = cast(x)
+        labels_onehot = cast(labels_onehot)
+        dec_mask = cast(dec_mask)
     h, enc_lengths = encode(params, cfg, x, x_lengths)
     return attention.decode_teacher_forced(
         params["decoder"],

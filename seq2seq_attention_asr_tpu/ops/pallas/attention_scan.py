@@ -301,7 +301,35 @@ def _bwd_kernel(
         dgru_wh[:] = jnp.zeros_like(dgru_wh)
 
     w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
-    dt = vh_ref.dtype
+    _bwd_core(
+        t, n, w, vh_ref.dtype,
+        vh_ref, h_ref, mask_ref, yin_ref,
+        sprev_ref, c_ref, ds_ref, dc_ref, dalpha_ref,
+        dvh_ref, dh_ref, dyin_ref,
+        dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dgru_wzr, dgru_wh,
+        ds_scr,
+    )
+
+
+def _bwd_core(
+    t, n, w, dt,
+    vh_ref, h_ref, mask_ref, yin_ref,
+    sprev_ref, c_ref, ds_ref, dc_ref, dalpha_ref,
+    dvh_ref, dh_ref, dyin_ref,
+    dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dgru_wzr, dgru_wh,
+    ds_scr,
+    uf=None, dalpha_extra=None,
+):
+    """Shared backward step: recompute the forward (float32 math, `dt`
+    matmul operands), then backprop through GRU / decoder MLP / context
+    / masked softmax / energies, accumulating into the grad refs.
+
+    `uf` is the optional location term for the recompute;
+    `dalpha_extra` an extra alpha cotangent (the location kernel's
+    cross-step carry). Returns (dz, alpha, s_prev) for the caller's
+    location-gradient section.
+    """
+    st = w["dec_w"].shape[1]
     f32 = jnp.float32
     vh = vh_ref[:].astype(f32)
     h = h_ref[:].astype(f32)
@@ -320,6 +348,8 @@ def _bwd_kernel(
     )
     ws = mm(s_prev, w["ws_w"]) + w["ws_b"].astype(f32)
     z = vh + ws[:, None, :]
+    if uf is not None:
+        z = z + uf
     a = jnp.tanh(z)
     e = jnp.sum(a * w["w_e"][0].astype(f32)[None, None, :], axis=-1)
     e = jnp.where(mask > 0, e, NEG_INF)
@@ -373,8 +403,10 @@ def _bwd_kernel(
     dc_b[:] += jnp.sum(dcc, axis=0, keepdims=True)
     dc = dc + dc_ref[0].astype(f32)
 
-    # --- backward through the context ---
+    # --- backward through the context (+ optional alpha-chain carry) ---
     dalpha = jnp.sum(dc[:, None, :] * h, axis=-1) + dalpha_ref[0].astype(f32)
+    if dalpha_extra is not None:
+        dalpha = dalpha + dalpha_extra
     dh_ref[:] += alpha[:, :, None] * dc[:, None, :]
 
     # --- backward through the masked softmax ---
@@ -397,6 +429,7 @@ def _bwd_kernel(
     dws_b[:] += jnp.sum(dz, axis=(0, 1))[None, :]
 
     ds_scr[:] = ds_prev
+    return dz, alpha, s_prev
 
 
 def _bwd_kernel_loc(
@@ -445,106 +478,29 @@ def _bwd_kernel_loc(
     w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
     dt = vh_ref.dtype
     f32 = jnp.float32
-    vh = vh_ref[:].astype(f32)
-    h = h_ref[:].astype(f32)
-    mask = mask_ref[:].astype(f32)
-    yin_t = yin_ref[0].astype(f32)
     rev_is_first = t == n - 1  # reversed-time step 0
-    s_prev = jnp.where(rev_is_first, 0.0, sprev_ref[0].astype(f32))
     alpha_prev = jnp.where(rev_is_first, 0.0, aprev_ref[0].astype(f32))
-    c_saved = c_ref[0].astype(f32)
     bb, l = alpha_prev.shape
-
-    # --- recompute the step ---
-    mm = lambda x, ww: jnp.dot(x.astype(dt), ww, preferred_element_type=f32)
-    mmT = lambda x, ww: jnp.dot(
-        x.astype(dt), ww.T, preferred_element_type=f32
-    )
     uf, feat = _location_term(alpha_prev, wconv[:], bconv[:], u_ref[:], dt,
                               pls, prs)
-    ws = mm(s_prev, w["ws_w"]) + w["ws_b"].astype(f32)
-    z = vh + ws[:, None, :] + uf
-    a = jnp.tanh(z)
-    e = jnp.sum(a * w["w_e"][0].astype(f32)[None, None, :], axis=-1)
-    e = jnp.where(mask > 0, e, NEG_INF)
-    m = jnp.max(e, axis=-1, keepdims=True)
-    p = jnp.exp(e - m) * (mask > 0)
-    alpha = p / jnp.sum(p, axis=-1, keepdims=True)
-    cc = mm(c_saved, w["c_w"]) + w["c_b"].astype(f32)
-    rr = jnp.concatenate([cc, yin_t], axis=-1)
-    r = mm(rr, w["dec_w"]) + w["dec_b"].astype(f32)
-    sr = jnp.concatenate([s_prev, r], axis=-1)
-    zr = jax.nn.sigmoid(mm(sr, w["gru_wzr"]))
-    zg, rg = zr[:, :st], zr[:, st:]
-    rgs = rg * s_prev
-    cand_in = jnp.concatenate([rgs, r], axis=-1)
-    cand = jnp.tanh(mm(cand_in, w["gru_wh"]))
-
-    # --- backward through the GRU ---
-    ds = ds_ref[0].astype(f32) + ds_scr[:]
-    dzg = ds * (cand - s_prev)
-    dcand = ds * zg
-    da_cand = dcand * (1.0 - cand * cand)
-    dcand_in = mmT(da_cand, w["gru_wh"])
-    drgs = dcand_in[:, :st]
-    dr = dcand_in[:, st:]
-    drg = drgs * s_prev
-    da_z = dzg * zg * (1.0 - zg)
-    da_r = drg * rg * (1.0 - rg)
-    da_zr = jnp.concatenate([da_z, da_r], axis=-1)
-    dsr = mmT(da_zr, w["gru_wzr"])
-    ds_prev = dsr[:, :st] + drgs * rg + ds * (1.0 - zg)
-    dr = dr + dsr[:, st:]
-    dgru_wh[:] += jnp.dot(
-        cand_in.astype(dt).T, da_cand.astype(dt), preferred_element_type=f32
+    # alpha_t feeds step t+1's location conv; that cotangent was stored
+    # by the (earlier-processed) step t+1 in dalpha_scr.
+    dz, _, _ = _bwd_core(
+        t, n, w, dt,
+        vh_ref, h_ref, mask_ref, yin_ref,
+        sprev_ref, c_ref, ds_ref, dc_ref, dalpha_ref,
+        dvh_ref, dh_ref, dyin_ref,
+        dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dgru_wzr, dgru_wh,
+        ds_scr,
+        uf=uf, dalpha_extra=dalpha_scr[:],
     )
-    dgru_wzr[:] += jnp.dot(
-        sr.astype(dt).T, da_zr.astype(dt), preferred_element_type=f32
-    )
-
-    # --- backward through the decoder-input MLP ---
-    drr = mmT(dr, w["dec_w"])
-    ddec_w[:] += jnp.dot(
-        rr.astype(dt).T, dr.astype(dt), preferred_element_type=f32
-    )
-    ddec_b[:] += jnp.sum(dr, axis=0, keepdims=True)
-    dcc = drr[:, :st]
-    dyin_ref[0] = drr[:, st:].astype(dyin_ref.dtype)
-    dc = mmT(dcc, w["c_w"])
-    dc_w[:] += jnp.dot(
-        c_saved.astype(dt).T, dcc.astype(dt), preferred_element_type=f32
-    )
-    dc_b[:] += jnp.sum(dcc, axis=0, keepdims=True)
-    dc = dc + dc_ref[0].astype(f32)
-
-    # --- backward through the context + the alpha carry from step t+1
-    # (alpha_t fed step t+1's location conv; that grad arrives here) ---
-    dalpha = (
-        jnp.sum(dc[:, None, :] * h, axis=-1)
-        + dalpha_ref[0].astype(f32)
-        + dalpha_scr[:]
-    )
-    dh_ref[:] += alpha[:, :, None] * dc[:, None, :]
-
-    # --- backward through the masked softmax ---
-    de = alpha * (dalpha - jnp.sum(dalpha * alpha, axis=-1, keepdims=True))
-
-    # --- backward through the energies ---
-    da = de[:, :, None] * w["w_e"][0].astype(f32)[None, None, :]
-    dw_e[:] += jnp.sum(a * de[:, :, None], axis=(0, 1))[None, :]
-    dz = da * (1.0 - a * a)
-    dvh_ref[:] += dz
-    dws = jnp.sum(dz, axis=1)  # (BB, S)
-    ds_prev = ds_prev + mmT(dws, w["ws_w"])
-    dws_w[:] += jnp.dot(
-        s_prev.astype(dt).T, dws.astype(dt), preferred_element_type=f32
-    )
-    dws_b[:] += jnp.sum(dz, axis=(0, 1))[None, :]
 
     # --- backward through the location term ---
     fm = wconv.shape[1]
     dz_flat = dz.reshape(bb * l, dz.shape[2])
-    dfeat = mmT(dz_flat, u_ref[:]).reshape(bb, l, fm)  # dz @ u^T
+    dfeat = jnp.dot(
+        dz_flat.astype(dt), u_ref[:].T, preferred_element_type=f32
+    ).reshape(bb, l, fm)  # dz @ u^T
     du_ref[:] += jnp.dot(
         feat.reshape(bb * l, fm).astype(dt).T, dz_flat.astype(dt),
         preferred_element_type=f32,
@@ -564,8 +520,6 @@ def _bwd_kernel_loc(
         )
         dap = dap + jnp.pad(g_j, ((0, 0), (j, f - 1 - j)))
     dalpha_scr[:] = dap[:, pls : pls + l]
-
-    ds_scr[:] = ds_prev
 
 
 def _run_bwd(

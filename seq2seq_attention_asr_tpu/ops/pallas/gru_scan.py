@@ -38,28 +38,34 @@ from jax.experimental.pallas import tpu as pltpu
 def _fwd_kernel(xproj_ref, h0_ref, wzr_ref, wh_ref, out_ref, h_scr):
     """Blocks are time-major: xproj_ref (1, B, 3H), out_ref (1, B, H) —
     the TPU tiling constraint wants the last two dims (sublane, lane)
-    aligned, so time is the leading (blocked) axis."""
+    aligned, so time is the leading (blocked) axis. IO/matmul operands
+    run in the input dtype; the carry stays float32."""
     t = pl.program_id(0)
     hdim = wh_ref.shape[1]
+    dt = xproj_ref.dtype
 
     @pl.when(t == 0)
     def _():
-        h_scr[:] = h0_ref[:]
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
 
     h = h_scr[:]
-    xzr = xproj_ref[0, :, : 2 * hdim]
-    xh = xproj_ref[0, :, 2 * hdim :]
+    xzr = xproj_ref[0, :, : 2 * hdim].astype(jnp.float32)
+    xh = xproj_ref[0, :, 2 * hdim :].astype(jnp.float32)
     zr = jax.nn.sigmoid(
-        jnp.dot(h, wzr_ref[:], preferred_element_type=jnp.float32) + xzr
+        jnp.dot(h.astype(dt), wzr_ref[:], preferred_element_type=jnp.float32)
+        + xzr
     )
     z = zr[:, :hdim]
     r = zr[:, hdim:]
     c = jnp.tanh(
-        jnp.dot(r * h, wh_ref[:], preferred_element_type=jnp.float32) + xh
+        jnp.dot(
+            (r * h).astype(dt), wh_ref[:], preferred_element_type=jnp.float32
+        )
+        + xh
     )
     h_new = (1.0 - z) * h + z * c
     h_scr[:] = h_new
-    out_ref[0, :, :] = h_new
+    out_ref[0, :, :] = h_new.astype(out_ref.dtype)
 
 
 def _bwd_kernel(
@@ -77,45 +83,61 @@ def _bwd_kernel(
         dwzr_scr[:] = jnp.zeros_like(dwzr_scr)
         dwh_scr[:] = jnp.zeros_like(dwh_scr)
 
-    h_prev = hprev_ref[0, :, :]
-    xzr = xproj_ref[0, :, : 2 * hdim]
-    xh = xproj_ref[0, :, 2 * hdim :]
+    dt = xproj_ref.dtype
+    h_prev = hprev_ref[0, :, :].astype(jnp.float32)
+    xzr = xproj_ref[0, :, : 2 * hdim].astype(jnp.float32)
+    xh = xproj_ref[0, :, 2 * hdim :].astype(jnp.float32)
     # recompute forward gates
     zr = jax.nn.sigmoid(
-        jnp.dot(h_prev, wzr_ref[:], preferred_element_type=jnp.float32) + xzr
+        jnp.dot(
+            hprev_ref[0, :, :], wzr_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + xzr
     )
     z = zr[:, :hdim]
     r = zr[:, hdim:]
     rh = r * h_prev
-    c = jnp.tanh(jnp.dot(rh, wh_ref[:], preferred_element_type=jnp.float32) + xh)
+    c = jnp.tanh(
+        jnp.dot(rh.astype(dt), wh_ref[:], preferred_element_type=jnp.float32)
+        + xh
+    )
 
-    dh = dys_ref[0, :, :] + dh_scr[:]
+    dh = dys_ref[0, :, :].astype(jnp.float32) + dh_scr[:]
     dz = dh * (c - h_prev)
     da_c = dh * z * (1.0 - c * c)
-    drh = jnp.dot(da_c, wh_ref[:].T, preferred_element_type=jnp.float32)
+    drh = jnp.dot(
+        da_c.astype(dt), wh_ref[:].T, preferred_element_type=jnp.float32
+    )
     dr = drh * h_prev
     da_z = dz * z * (1.0 - z)
     da_r = dr * r * (1.0 - r)
     da_zr = jnp.concatenate([da_z, da_r], axis=1)
     dh_prev = (
         drh * r
-        + jnp.dot(da_zr, wzr_ref[:].T, preferred_element_type=jnp.float32)
+        + jnp.dot(
+            da_zr.astype(dt), wzr_ref[:].T,
+            preferred_element_type=jnp.float32,
+        )
         + dh * (1.0 - z)
     )
 
-    dxproj_ref[0, :, : 2 * hdim] = da_zr
-    dxproj_ref[0, :, 2 * hdim :] = da_c
+    dxproj_ref[0, :, : 2 * hdim] = da_zr.astype(dxproj_ref.dtype)
+    dxproj_ref[0, :, 2 * hdim :] = da_c.astype(dxproj_ref.dtype)
     dwzr_scr[:] += jnp.dot(
-        h_prev.T, da_zr, preferred_element_type=jnp.float32
+        hprev_ref[0, :, :].T, da_zr.astype(dt),
+        preferred_element_type=jnp.float32,
     )
-    dwh_scr[:] += jnp.dot(rh.T, da_c, preferred_element_type=jnp.float32)
+    dwh_scr[:] += jnp.dot(
+        rh.astype(dt).T, da_c.astype(dt), preferred_element_type=jnp.float32
+    )
     dh_scr[:] = dh_prev
 
     @pl.when(t == n - 1)
     def _():
-        dh0_ref[:] = dh_prev
-        dwzr_ref[:] = dwzr_scr[:]
-        dwh_ref[:] = dwh_scr[:]
+        dh0_ref[:] = dh_prev.astype(dh0_ref.dtype)
+        dwzr_ref[:] = dwzr_scr[:].astype(dwzr_ref.dtype)
+        dwh_ref[:] = dwh_scr[:].astype(dwh_ref.dtype)
 
 
 def _run_fwd(xproj, h0, w_zr_h, w_h_h, interpret=False):
@@ -134,7 +156,7 @@ def _run_fwd(xproj, h0, w_zr_h, w_h_h, interpret=False):
         out_specs=pl.BlockSpec(
             (1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((l, b, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((l, b, h), xproj.dtype),
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -169,10 +191,10 @@ def _run_bwd(xproj, h_prevs, dys, w_zr_h, w_h_h, interpret=False):
             pl.BlockSpec((h, h), const2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((l, b, 3 * h), jnp.float32),
-            jax.ShapeDtypeStruct((b, h), jnp.float32),
-            jax.ShapeDtypeStruct((h, 2 * h), jnp.float32),
-            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((l, b, 3 * h), xproj.dtype),
+            jax.ShapeDtypeStruct((b, h), h_prevs.dtype),
+            jax.ShapeDtypeStruct((h, 2 * h), w_zr_h.dtype),
+            jax.ShapeDtypeStruct((h, h), w_h_h.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),

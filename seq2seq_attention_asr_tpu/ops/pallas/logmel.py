@@ -149,19 +149,9 @@ def stft_logmel_power(yp, sr: int, interpret: bool = False):
 
 
 def _deltas(spectr):
-    """Old-librosa width-9 ramp delta, edge pad (features.py:129-147)."""
-    half = 4
-    kern = jnp.asarray(np.arange(-half, half + 1, dtype=np.float32))
-    l = spectr.shape[1]
-
-    def delta(x):
-        xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
-        idxs = np.arange(l)[:, None] + np.arange(2 * half + 1)[None, :]
-        return jnp.einsum("blkd,k->bld", xp[:, idxs], kern,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    d1 = delta(spectr)
-    return d1, delta(d1)
+    """Width-9 ramp delta + delta-delta (shared helper in features.py)."""
+    d1 = F.delta_batched_jax(spectr)
+    return d1, F.delta_batched_jax(d1)
 
 
 def logmel_pallas(y, sr: int = 16000, nfreqs: int = 40, mean=None, std=None,
