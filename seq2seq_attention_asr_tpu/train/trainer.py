@@ -505,9 +505,16 @@ class Trainer:
     # -- full fit -----------------------------------------------------------
 
     def fit(self, train_ds, valid_ds, batcher, *, resume: bool = False,
-            decode_every: int = 1):
+            decode_every: int = 1, on_nan: str = "raise",
+            max_nan_restores: int = 3):
+        """Epoch loop. on_nan: "raise" aborts on the NaN tripwire
+        (reference behavior — a crash kills the run); "restore" rolls
+        back to the last checkpoint with a reshuffled epoch seed and
+        continues, up to `max_nan_restores` times — the elastic-recovery
+        capability the reference lacks (SURVEY.md §5)."""
         if resume:
             self.resume()
+        nan_restores = 0
         while self.epoch < self.tcfg.num_epochs:
             epoch = self.epoch + 1
             if epoch in self.optim_resets:
@@ -518,7 +525,32 @@ class Trainer:
                 train_params, _, rng = self.state
                 self._build(new_ocfg)
                 self.state = (train_params, optim_lib.build_optimizer(new_ocfg).init(train_params), rng)
-            row = self.train_epoch(train_ds, batcher, epoch)
+            try:
+                row = self.train_epoch(train_ds, batcher, epoch)
+            except Exception as e:
+                from ..utils import debug as _dbg
+
+                recoverable = (
+                    on_nan == "restore"
+                    and isinstance(e, _dbg.NonFiniteError)
+                    and nan_restores < max_nan_restores
+                    and self.save_dir is not None
+                )
+                if not recoverable:
+                    raise
+                if not self.resume():
+                    raise  # nothing checkpointed yet to roll back to
+                nan_restores += 1
+                self.log.append({
+                    "epoch": epoch, "event": "nan_restore",
+                    "restores": nan_restores, "detail": str(e)[:200],
+                })
+                # different shuffle on retry so a poison batch ordering
+                # does not reproduce the blow-up deterministically
+                self.tcfg = dataclasses.replace(
+                    self.tcfg, seed=self.tcfg.seed + 101 * nan_restores
+                )
+                continue
             do_decode = decode_every > 0 and epoch % decode_every == 0
             row.update(self.evaluate(valid_ds, batcher, decode=do_decode))
             self.epoch = epoch

@@ -4,6 +4,7 @@ run the offline preprocessing pipeline, train a tiny model for two
 epochs, and beam-decode. Exercises every layer boundary: audio readers
 -> features -> HDF5 -> batcher -> trainer -> decoder -> PER."""
 
+import dataclasses
 import os
 import struct
 
@@ -179,3 +180,56 @@ def test_bfloat16_mixed_precision_matches_float32():
         return -jnp.sum(out["logprobs"] * oh)
     g = jax.grad(lambda p: nll(m16, p))(params)
     assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(g))
+
+
+def test_nan_restore_rolls_back_and_continues(tmp_path):
+    """fit(on_nan='restore'): the NaN tripwire rolls back to the last
+    checkpoint and keeps training (elastic recovery the reference
+    lacks — a crash kills its run, SURVEY.md §5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.data import batching, timit
+    from seq2seq_attention_asr_tpu.train import experiment as exp_lib
+    from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
+
+    rng = np.random.RandomState(0)
+    n = 6
+    ds = timit.Dataset(
+        x=[rng.randn(12 + i, 123).astype(np.float32) for i in range(n)],
+        y=[rng.randint(0, 61, (3 + i % 2,)).astype(np.int32) for i in range(n)],
+        y39=None,
+        uids=[f"u{i}" for i in range(n)],
+        start=[None] * n,
+        finish=[None] * n,
+    )
+    exp = exp_lib.scriptchecker(save_dir=str(tmp_path / "run"))
+    exp.model_kwargs.update(
+        input_frame_size=123, hidden_frame_size=8, output_frame_size=8,
+        score_depth=8, state_depth=8, mlp_depth=8, output_depth=62,
+    )
+    exp.train = dataclasses.replace(exp.train, num_epochs=3, beam_k=2)
+    tr = trainer_lib.Trainer(
+        exp.build_model(), exp.optim, exp.train, save_dir=exp.save_dir
+    )
+    tr.init(exp.init_params(jax.random.PRNGKey(0)))
+    batcher = batching.BucketedBatcher.from_dataset(ds, 3, n_buckets=2)
+
+    # poison exactly one step at the start of epoch 2
+    real_step = tr.step_fn
+    state = {"calls": 0}
+
+    def poisoned(s, b):
+        state["calls"] += 1
+        new_s, m = real_step(s, b)
+        if state["calls"] == 3:  # first batch of epoch 2 (2 batches/epoch)
+            m = dict(m)
+            m["loss"] = jnp.float32(float("nan"))
+        return new_s, m
+
+    tr.step_fn = poisoned
+    rows = list(tr.fit(ds, ds, batcher, decode_every=0, on_nan="restore"))
+    events = [r for r in tr.log.rows if r.get("event") == "nan_restore"]
+    assert len(events) == 1
+    assert len(rows) == 3  # all epochs completed despite the NaN
+    assert all(np.isfinite(r["train_nll"]) for r in rows)
