@@ -222,6 +222,7 @@ def run_cli(builder, dataset: str, argv=None, source_file: Optional[str] = None)
     from .trainer import Trainer
 
     vocab = None
+    chunked = None
     if dataset == "timit":
         exp = builder(data_path=args.data, save_dir=args.save)
         train_ds = timit_data.load_hdf5(os.path.join(args.data, "train.h5"))
@@ -232,12 +233,19 @@ def run_cli(builder, dataset: str, argv=None, source_file: Optional[str] = None)
         exp = builder(
             num_chars=meta["numchars"], data_path=args.data, save_dir=args.save
         )
-        chunks = list(ls.iter_chunks(args.data))
-        train_ds = chunks[0]
-        for c in chunks[1:]:
-            train_ds.uids += c.uids
-            train_ds.x += c.x
-            train_ds.y += c.y
+        # Out-of-core: one chunk resident at a time, shuffled chunk
+        # order per epoch (librispeech/train.lua:82-103).
+        chunk_paths = ls.load_manifest(args.data)
+        load_chunk = lambda i: timit_data.load_hdf5(chunk_paths[i])
+        train_ds = load_chunk(0)  # shapes/vocab probing only
+        if len(chunk_paths) > 1:
+            chunked = (
+                load_chunk,
+                len(chunk_paths),
+                lambda ds: batching.BucketedBatcher.from_dataset(
+                    ds, batch_size=exp.train.batch_size
+                ),
+            )
         valid_ds = timit_data.load_hdf5(os.path.join(args.data, "valid.h5"))
     elif dataset == "scriptchecker":
         exp = builder(save_dir=args.save)
@@ -276,7 +284,7 @@ def run_cli(builder, dataset: str, argv=None, source_file: Optional[str] = None)
     )
     for row in tr.fit(
         train_ds, valid_ds, batcher, resume=args.resume,
-        decode_every=args.decode_every,
+        decode_every=args.decode_every, chunked=chunked,
     ):
         keys = ("epoch", "train_nll", "train_accuracy", "valid_nll",
                 "valid_accuracy", "valid_per", "train_seconds",

@@ -362,9 +362,53 @@ class Trainer:
     # per step. The NaN tripwire fires with this granularity.
     SYNC_EVERY = 50
 
+    _AGG_KEYS = ("loss", "nll", "correct", "total", "grad_norm", "penalty")
+
     def train_epoch(self, ds, batcher, epoch: int) -> Dict[str, float]:
-        keys = ("loss", "nll", "correct", "total", "grad_norm", "penalty")
-        agg = {k: 0.0 for k in keys}
+        agg = {k: 0.0 for k in self._AGG_KEYS}
+        t0 = time.time()
+        n_batches, n_samples = self._train_pass(ds, batcher, epoch, agg)
+        return self._train_row(agg, n_batches, n_samples,
+                               time.time() - t0, epoch)
+
+    def train_epoch_chunked(
+        self, load_chunk, n_chunks: int, batcher_fn, epoch: int
+    ) -> Dict[str, float]:
+        """Out-of-core epoch: iterate the train chunks in a shuffled
+        order with ONE chunk resident at a time (the reference's
+        chunked LibriSpeech loop, librispeech/train.lua:82-103).
+
+        load_chunk(i) -> Dataset; batcher_fn(ds) -> a batcher for it.
+        """
+        agg = {k: 0.0 for k in self._AGG_KEYS}
+        t0 = time.time()
+        nb = ns = 0
+        order = np.random.RandomState(self.tcfg.seed + epoch).permutation(
+            n_chunks
+        )
+        for k, ci in enumerate(order):
+            ds = load_chunk(int(ci))
+            b, s = self._train_pass(
+                ds, batcher_fn(ds), epoch * 1000 + k, agg
+            )
+            nb += b
+            ns += s
+        return self._train_row(agg, nb, ns, time.time() - t0, epoch)
+
+    def _train_row(self, agg, n_batches, n_samples, dt, epoch):
+        return {
+            "epoch": epoch,
+            "train_loss": agg["loss"] / max(n_batches, 1),
+            "train_nll": agg["nll"] / max(n_batches, 1),
+            "train_accuracy": agg["correct"] / max(agg["total"], 1.0),
+            "grad_norm": agg["grad_norm"] / max(n_batches, 1),
+            "penalty": agg["penalty"] / max(n_samples, 1),
+            "train_seconds": dt,
+            "train_samples_per_s": n_samples / max(dt, 1e-9),
+        }
+
+    def _train_pass(self, ds, batcher, epoch: int, agg) -> Tuple[int, int]:
+        keys = self._AGG_KEYS
         agg_dev = None  # device-side running sums
         n_batches = 0
         n_samples = 0
@@ -376,7 +420,6 @@ class Trainer:
                     agg[k] += float(agg_dev[k])
                 agg_dev = None
 
-        t0 = time.time()
         it = batcher.batches(
             ds, shuffle=True, seed=self.tcfg.seed + epoch,
             max_samples=self.tcfg.max_samples,
@@ -413,18 +456,7 @@ class Trainer:
                 f"loss went non-finite in epoch {epoch}",
                 bad or ["<params finite; non-finite loss only>"],
             )
-        dt = time.time() - t0
-        out = {
-            "epoch": epoch,
-            "train_loss": agg["loss"] / max(n_batches, 1),
-            "train_nll": agg["nll"] / max(n_batches, 1),
-            "train_accuracy": agg["correct"] / max(agg["total"], 1.0),
-            "grad_norm": agg["grad_norm"] / max(n_batches, 1),
-            "penalty": agg["penalty"] / max(n_samples, 1),
-            "train_seconds": dt,
-            "train_samples_per_s": n_samples / max(dt, 1e-9),
-        }
-        return out
+        return n_batches, n_samples
 
     def evaluate(self, ds, batcher, decode: bool = True) -> Dict[str, float]:
         """Teacher-forced NLL/accuracy + beam-search PER/CER
@@ -506,12 +538,17 @@ class Trainer:
 
     def fit(self, train_ds, valid_ds, batcher, *, resume: bool = False,
             decode_every: int = 1, on_nan: str = "raise",
-            max_nan_restores: int = 3):
+            max_nan_restores: int = 3, chunked=None):
         """Epoch loop. on_nan: "raise" aborts on the NaN tripwire
         (reference behavior — a crash kills the run); "restore" rolls
         back to the last checkpoint with a reshuffled epoch seed and
         continues, up to `max_nan_restores` times — the elastic-recovery
-        capability the reference lacks (SURVEY.md §5)."""
+        capability the reference lacks (SURVEY.md §5).
+
+        chunked: optional (load_chunk, n_chunks, batcher_fn) triple for
+        out-of-core training (one chunk resident at a time,
+        librispeech/train.lua:82-103); `train_ds` is ignored then and
+        `batcher` only serves the validation pass."""
         if resume:
             self.resume()
         nan_restores = 0
@@ -526,7 +563,10 @@ class Trainer:
                 self._build(new_ocfg)
                 self.state = (train_params, optim_lib.build_optimizer(new_ocfg).init(train_params), rng)
             try:
-                row = self.train_epoch(train_ds, batcher, epoch)
+                if chunked is not None:
+                    row = self.train_epoch_chunked(*chunked, epoch)
+                else:
+                    row = self.train_epoch(train_ds, batcher, epoch)
             except Exception as e:
                 from ..utils import debug as _dbg
 

@@ -233,3 +233,56 @@ def test_nan_restore_rolls_back_and_continues(tmp_path):
     assert len(events) == 1
     assert len(rows) == 3  # all epochs completed despite the NaN
     assert all(np.isfinite(r["train_nll"]) for r in rows)
+
+
+def test_chunked_out_of_core_training(tmp_path):
+    """fit(chunked=...) iterates HDF5 chunk files one at a time in a
+    shuffled per-epoch order (librispeech/train.lua:82-103 parity)."""
+    import jax
+
+    from seq2seq_attention_asr_tpu.data import batching, librispeech as ls, timit
+    from seq2seq_attention_asr_tpu.train import experiment as exp_lib
+    from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
+
+    rng = np.random.RandomState(0)
+
+    def mk_ds(n, off):
+        return timit.Dataset(
+            x=[rng.randn(10 + i, 16).astype(np.float32) for i in range(n)],
+            y=[rng.randint(0, 7, (3,)).astype(np.int32) for i in range(n)],
+            y39=None, uids=[f"c{off}_{i}" for i in range(n)],
+            start=[np.zeros(0)] * n, finish=[np.zeros(0)] * n,
+        )
+
+    data_dir = str(tmp_path / "chunks")
+    os.makedirs(data_dir)
+    paths = []
+    for c in range(2):
+        p = os.path.join(data_dir, f"train_chunk{c}.h5")
+        timit.save_hdf5(mk_ds(4, c), p)
+        paths.append(p)
+    with open(os.path.join(data_dir, "train.db"), "w") as f:
+        f.write("\n".join(paths) + "\n")
+    loaded_paths = ls.load_manifest(data_dir)
+    assert len(loaded_paths) == 2
+
+    exp = exp_lib.scriptchecker(save_dir=str(tmp_path / "run"))
+    exp.model_kwargs.update(
+        input_frame_size=16, hidden_frame_size=8, output_frame_size=8,
+        score_depth=8, state_depth=8, mlp_depth=8, output_depth=7,
+    )
+    exp.train = dataclasses.replace(exp.train, num_epochs=2, beam_k=2)
+    tr = trainer_lib.Trainer(
+        exp.build_model(), exp.optim, exp.train, save_dir=exp.save_dir
+    )
+    tr.init(exp.init_params(jax.random.PRNGKey(0)))
+    valid = timit.load_hdf5(paths[0])
+    batcher = batching.BucketedBatcher.from_dataset(valid, 4, n_buckets=2)
+    load_chunk = lambda i: timit.load_hdf5(loaded_paths[i])
+    bf = lambda ds: batching.BucketedBatcher.from_dataset(ds, 4, n_buckets=2)
+    rows = list(tr.fit(None, valid, batcher, decode_every=0,
+                       chunked=(load_chunk, 2, bf)))
+    assert len(rows) == 2
+    assert all(np.isfinite(r["train_nll"]) for r in rows)
+    # both chunks' samples were seen each epoch (4 + 4)
+    assert rows[0]["train_samples_per_s"] > 0
