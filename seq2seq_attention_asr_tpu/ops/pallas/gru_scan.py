@@ -502,3 +502,274 @@ def _bi_vjp_bwd(interpret, res, dys):
 
 
 bigru_scan.defvjp(_bi_vjp_fwd, _bi_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Flip-free bidirectional scan. The flip_sequences gathers (and the
+# direction stack) around bigru_scan cost more than the recurrence at
+# recipe shapes. The reference GRU is bias-free (LinearZeroBias,
+# GRU.lua:22-30), so the zero state is an exact fixed point under zero
+# input: the backward direction can scan the NATURAL-order array from
+# the padded tail down — it holds h = 0 exactly through the zero
+# padding, then consumes the valid frames in reverse — and write its
+# outputs straight into natural positions via a reversed block index
+# map. No host-side flips, no stacked copy. Requires zero padding and
+# zero-masked layer outputs (ops/rnn.py does both).
+# ---------------------------------------------------------------------------
+
+
+def _bi2_fwd_kernel(
+    xf_ref, xb_ref, wzr_ref, wh_ref, outf_ref, outb_ref, h_scr
+):
+    """xf blocks ascend in time; xb blocks arrive in REVERSED block
+    order (dir 1 scans natural positions descending). Both directions
+    advance in lockstep so their chains interleave."""
+    t = pl.program_id(0)
+    hdim = wh_ref.shape[2]
+    dt = xf_ref.dtype
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    hs = [h_scr[0], h_scr[1]]
+    for i in range(TBLK):
+        ib = TBLK - 1 - i
+        xs = (xf_ref[i], xb_ref[ib])
+        zrs = [
+            jax.nn.sigmoid(
+                jnp.dot(hs[d].astype(dt), wzr_ref[d],
+                        preferred_element_type=f32)
+                + xs[d][:, : 2 * hdim].astype(f32)
+            )
+            for d in range(2)
+        ]
+        cs = [
+            jnp.tanh(
+                jnp.dot(
+                    (zrs[d][:, hdim:] * hs[d]).astype(dt), wh_ref[d],
+                    preferred_element_type=f32,
+                )
+                + xs[d][:, 2 * hdim :].astype(f32)
+            )
+            for d in range(2)
+        ]
+        for d in range(2):
+            z = zrs[d][:, :hdim]
+            hs[d] = (1.0 - z) * hs[d] + z * cs[d]
+        outf_ref[i] = hs[0].astype(outf_ref.dtype)
+        outb_ref[ib] = hs[1].astype(outb_ref.dtype)
+    h_scr[0] = hs[0]
+    h_scr[1] = hs[1]
+
+
+def _bi2_bwd_kernel(
+    xf_ref, xb_ref, hpf_ref, hpb_ref, dysf_ref, dysb_ref,
+    wzr_ref, wh_ref,
+    dxf_ref, dxb_ref, dwzr_ref, dwh_ref,
+    dh_scr, dwzr_scr, dwh_scr,
+):
+    """Reversed sweeps per direction: dir 0's blocks arrive time-
+    descending (inner loop descending), dir 1's time-ascending (its
+    forward ran descending). hpf[p] = ysf[p-1] (zeros at 0);
+    hpb[p] = ysb[p+1] (zeros at the padded tail)."""
+    t = pl.program_id(0)
+    hdim = wh_ref.shape[2]
+    dt = xf_ref.dtype
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwzr_scr[:] = jnp.zeros_like(dwzr_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+
+    carries = [dh_scr[0], dh_scr[1]]
+    waccs = [dwzr_scr[0], dwzr_scr[1]]
+    haccs = [dwh_scr[0], dwh_scr[1]]
+    for i in range(TBLK):
+        i0 = TBLK - 1 - i  # dir 0: descending within the reversed block
+        i1 = i  # dir 1: ascending within the natural block
+        for d, (x_ref, hp_ref, dys_ref, dx_ref, ii) in enumerate((
+            (xf_ref, hpf_ref, dysf_ref, dxf_ref, i0),
+            (xb_ref, hpb_ref, dysb_ref, dxb_ref, i1),
+        )):
+            h_prev = hp_ref[ii].astype(f32)
+            xzr = x_ref[ii, :, : 2 * hdim].astype(f32)
+            xh = x_ref[ii, :, 2 * hdim :].astype(f32)
+            zr = jax.nn.sigmoid(
+                jnp.dot(hp_ref[ii], wzr_ref[d], preferred_element_type=f32)
+                + xzr
+            )
+            z = zr[:, :hdim]
+            r = zr[:, hdim:]
+            rh = r * h_prev
+            c = jnp.tanh(
+                jnp.dot(rh.astype(dt), wh_ref[d], preferred_element_type=f32)
+                + xh
+            )
+            dh = dys_ref[ii].astype(f32) + carries[d]
+            dz = dh * (c - h_prev)
+            da_c = dh * z * (1.0 - c * c)
+            drh = jnp.dot(
+                da_c.astype(dt), wh_ref[d].T, preferred_element_type=f32
+            )
+            dr = drh * h_prev
+            da_z = dz * z * (1.0 - z)
+            da_r = dr * r * (1.0 - r)
+            da_zr = jnp.concatenate([da_z, da_r], axis=1)
+            carries[d] = (
+                drh * r
+                + jnp.dot(
+                    da_zr.astype(dt), wzr_ref[d].T,
+                    preferred_element_type=f32,
+                )
+                + dh * (1.0 - z)
+            )
+            dx_ref[ii, :, : 2 * hdim] = da_zr.astype(dx_ref.dtype)
+            dx_ref[ii, :, 2 * hdim :] = da_c.astype(dx_ref.dtype)
+            waccs[d] += jnp.dot(
+                hp_ref[ii].T, da_zr.astype(dt), preferred_element_type=f32
+            )
+            haccs[d] += jnp.dot(
+                rh.astype(dt).T, da_c.astype(dt), preferred_element_type=f32
+            )
+    for d in range(2):
+        dh_scr[d] = carries[d]
+        dwzr_scr[d] = waccs[d]
+        dwh_scr[d] = haccs[d]
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        dwzr_ref[:] = dwzr_scr[:].astype(dwzr_ref.dtype)
+        dwh_ref[:] = dwh_scr[:].astype(dwh_ref.dtype)
+
+
+def _pad_time2(a, lp):
+    """Zero-pad time (axis 0 of a (L, B, X) array) up to lp."""
+    l = a.shape[0]
+    if l == lp:
+        return a
+    return jnp.pad(a, ((0, lp - l), (0, 0), (0, 0)))
+
+
+def _bi2_run_fwd(xf, xb, wzr2, wh2, interpret=False):
+    b, l, _ = xf.shape
+    h = wh2.shape[2]
+    lp = -(-l // TBLK) * TBLK
+    nblk = lp // TBLK
+    tm = lambda a: _pad_time2(jnp.swapaxes(a, 0, 1), lp)  # (Lp, B, 3H)
+    nat = lambda t: (t, 0, 0)
+    rev = lambda t: (nblk - 1 - t, 0, 0)
+    cw = lambda t: (0, 0, 0)
+    ysf, ysb = pl.pallas_call(
+        _bi2_fwd_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((TBLK, b, 3 * h), nat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBLK, b, 3 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, 2 * h), cw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, h), cw, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TBLK, b, h), nat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBLK, b, h), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lp, b, h), xf.dtype),
+            jax.ShapeDtypeStruct((lp, b, h), xf.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * l * b * h * 3 * h + 12 * l * b * h),
+            bytes_accessed=2 * 4 * (l * b * 4 * h + 3 * h * h),
+            transcendentals=2 * 3 * l * b * h,
+        ),
+    )(tm(xf), tm(xb), wzr2, wh2)
+    sw = lambda a: jnp.swapaxes(a[:l], 0, 1)
+    return sw(ysf), sw(ysb)
+
+
+def _bi2_run_bwd(xf, xb, ysf, ysb, dysf, dysb, wzr2, wh2, interpret=False):
+    b, l, _ = xf.shape
+    h = wh2.shape[2]
+    lp = -(-l // TBLK) * TBLK
+    nblk = lp // TBLK
+    tm = lambda a: _pad_time2(jnp.swapaxes(a, 0, 1), lp)
+    # hpf[p] = ysf[p-1] (zeros at 0); hpb[p] = ysb[p+1] (zeros at tail:
+    # padded positions of ysb are exactly zero by the fixed-point
+    # argument, so the plain time-major pad already provides them).
+    ysf_t, ysb_t = tm(ysf), tm(ysb)
+    hpf = jnp.concatenate([jnp.zeros_like(ysf_t[:1]), ysf_t[:-1]], axis=0)
+    hpb = jnp.concatenate([ysb_t[1:], jnp.zeros_like(ysb_t[:1])], axis=0)
+    nat = lambda t: (t, 0, 0)
+    rev = lambda t: (nblk - 1 - t, 0, 0)
+    cw = lambda t: (0, 0, 0)
+    blk = lambda m, x_dim: pl.BlockSpec(
+        (TBLK, b, x_dim), m, memory_space=pltpu.VMEM
+    )
+    dxf_t, dxb_t, dwzr, dwh = pl.pallas_call(
+        _bi2_bwd_kernel,
+        grid=(nblk,),
+        in_specs=[
+            blk(rev, 3 * h), blk(nat, 3 * h),
+            blk(rev, h), blk(nat, h),
+            blk(rev, h), blk(nat, h),
+            pl.BlockSpec((2, h, 2 * h), cw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, h), cw, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            blk(rev, 3 * h), blk(nat, 3 * h),
+            pl.BlockSpec((2, h, 2 * h), cw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, h), cw, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lp, b, 3 * h), xf.dtype),
+            jax.ShapeDtypeStruct((lp, b, 3 * h), xb.dtype),
+            jax.ShapeDtypeStruct(wzr2.shape, wzr2.dtype),
+            jax.ShapeDtypeStruct(wh2.shape, wh2.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b, h), jnp.float32),
+            pltpu.VMEM((2, h, 2 * h), jnp.float32),
+            pltpu.VMEM((2, h, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tm(xf), tm(xb), hpf, hpb, tm(dysf), tm(dysb), wzr2, wh2)
+    sw = lambda a: jnp.swapaxes(a[:l], 0, 1)
+    return sw(dxf_t), sw(dxb_t), dwzr, dwh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bigru_scan2(xf, xb, wzr2, wh2, interpret=False):
+    """Flip-free fused bidirectional GRU.
+
+    xf/xb: (B, L, 3H) NATURAL-order input projections for the forward
+    and backward directions (zero-padded tails); wzr2 (2, H, 2H),
+    wh2 (2, H, H). Returns (ysf, ysb) both in natural time order, with
+    ysb exactly zero on padding. Initial states are zeros (the only
+    case bigru_layer uses; required by the fixed-point argument).
+    """
+    return _bi2_run_fwd(xf, xb, wzr2, wh2, interpret)
+
+
+def _bi2_vjp_fwd(xf, xb, wzr2, wh2, interpret=False):
+    ys = _bi2_run_fwd(xf, xb, wzr2, wh2, interpret)
+    return ys, (xf, xb, wzr2, wh2, ys[0], ys[1])
+
+
+def _bi2_vjp_bwd(interpret, res, dys):
+    xf, xb, wzr2, wh2, ysf, ysb = res
+    dysf, dysb = dys
+    return _bi2_run_bwd(xf, xb, ysf, ysb, dysf, dysb, wzr2, wh2, interpret)
+
+
+bigru_scan2.defvjp(_bi2_vjp_fwd, _bi2_vjp_bwd)

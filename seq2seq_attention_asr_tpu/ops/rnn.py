@@ -152,39 +152,40 @@ def bigru_layer(
     per-step matmuls pipeline inside one iteration).
     """
     h_dim = params["fwd"]["w_zr"].shape[1] // 2
+    if lengths is not None:
+        # Padded positions are zeroed on every layer's OUTPUT: the
+        # bias-free GRU holds h = 0 exactly under zero input, which
+        # lets the fused kernel run the backward direction over the
+        # natural-order array (no flip_sequences gathers) — valid
+        # positions are bit-identical, padding is zero instead of the
+        # reference's don't-care garbage (masked downstream anyway).
+        mask = (
+            jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+        ).astype(x.dtype)[:, :, None]
+        x = x * mask
     use_pallas = backend == "pallas" or (
         backend == "auto" and _pallas_available(x.shape[0], h_dim, x.dtype)
     )
     if use_pallas:
         from .pallas import gru_scan as _gs
 
-        if lengths is not None:
-            xb = flip_sequences(x, lengths)
-        else:
-            xb = x[:, ::-1]
-        xproj2 = jnp.stack(
-            [
-                cells.gru_input_proj(params["fwd"], x),
-                cells.gru_input_proj(params["bwd"], xb),
-            ]
-        )
-        h02 = jnp.zeros((2, x.shape[0], h_dim), x.dtype)
+        xf = cells.gru_input_proj(params["fwd"], x)
+        xb = cells.gru_input_proj(params["bwd"], x)
         wzr2 = jnp.stack(
             [params["fwd"]["w_zr"][:h_dim], params["bwd"]["w_zr"][:h_dim]]
         )
         wh2 = jnp.stack(
             [params["fwd"]["w_h"][:h_dim], params["bwd"]["w_h"][:h_dim]]
         )
-        ys2 = _gs.bigru_scan(xproj2, h02, wzr2, wh2, _pallas_interpret())
-        fwd, bwd = ys2[0], ys2[1]
-        if lengths is not None:
-            bwd = flip_sequences(bwd, lengths)
-        else:
-            bwd = bwd[:, ::-1]
-        return jnp.concatenate([fwd, bwd], axis=-1)
-    fwd = gru_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll, backend=backend)
-    bwd = gru_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll, backend=backend)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+        fwd, bwd = _gs.bigru_scan2(xf, xb, wzr2, wh2, _pallas_interpret())
+        ys = jnp.concatenate([fwd, bwd], axis=-1)
+    else:
+        fwd = gru_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll, backend=backend)
+        bwd = gru_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll, backend=backend)
+        ys = jnp.concatenate([fwd, bwd], axis=-1)
+    if lengths is not None:
+        ys = ys * mask
+    return ys
 
 
 def bilstm_init(
