@@ -102,11 +102,50 @@ class BucketedBatcher:
             for lb, idxs in sorted(pools.items()):
                 yield self._pad(ds, idxs, lb)
 
+    @staticmethod
+    def _ragged(ds):
+        """Ragged (concatenated) views of ds for the native packer,
+        built once per dataset and cached on the dataset object."""
+        cached = getattr(ds, "_ragged_views", None)
+        if cached is not None:
+            return cached
+        from ..native import packing
+
+        views = (
+            packing.RaggedFeatures(ds.x),
+            packing.RaggedLabels(ds.y),
+            packing.RaggedLabels(ds.y39) if ds.y39 is not None else None,
+        )
+        ds._ragged_views = views
+        return views
+
     def _pad(self, ds, idxs: List[int], l_pad: int) -> Batch:
-        b = len(idxs)
-        d = ds.x[idxs[0]].shape[-1]
         t_max = max(len(ds.y[i]) for i in idxs)
         t_pad = -(-t_max // self.t_multiple) * self.t_multiple
+        try:
+            return self._pad_native(ds, idxs, l_pad, t_pad)
+        except Exception:
+            return self._pad_np(ds, idxs, l_pad, t_pad)
+
+    def _pad_native(self, ds, idxs: List[int], l_pad: int, t_pad: int) -> Batch:
+        """C++ strided-copy packing (native/packing.cpp)."""
+        from ..native import packing
+
+        rf, rl, rl39 = self._ragged(ds)
+        x, x_len = packing.pack_batch(rf, idxs, l_pad)
+        y, y_len = packing.pack_labels(rl, idxs, t_pad)
+        y39 = packing.pack_labels(rl39, idxs, t_pad)[0] if rl39 is not None else None
+        return Batch(
+            x=x, x_len=x_len.astype(np.int32), y=y,
+            y_len=y_len.astype(np.int32), y39=y39,
+            uids=[ds.uids[i] for i in idxs],
+        )
+
+    def _pad_np(self, ds, idxs: List[int], l_pad: int, t_pad: int) -> Batch:
+        """NumPy fallback (no C++ toolchain); semantics identical to
+        _pad_native — parity asserted in tests/test_native.py."""
+        b = len(idxs)
+        d = ds.x[idxs[0]].shape[-1]
         x = np.zeros((b, l_pad, d), np.float32)
         y = np.zeros((b, t_pad), np.int32)
         y39 = np.zeros((b, t_pad), np.int32) if ds.y39 is not None else None
@@ -151,8 +190,9 @@ class Prefetcher:
     The reference loads each utterance synchronously inside the train
     loop (timit.lua:215-247). Here a daemon thread pads + transfers
     `depth` batches ahead; with JAX's async dispatch the device is
-    never input-starved. The native C++ packer (native/packing.py) is
-    used by the upstream batcher where available.
+    never input-starved. BucketedBatcher._pad does the padding through
+    the native C++ packer (native/packing.cpp) when it builds, so the
+    feeder thread's per-batch work is two memcpy-speed calls.
     """
 
     _DONE = object()

@@ -485,24 +485,28 @@ class Trainer:
                 x, x_len, y, _ = arrs
                 # eos = final target token (timit.lua:398)
                 eos = y[jnp.arange(y.shape[0]), jnp.asarray(batch.y_len) - 1]
-                res = self.decode_fn(
-                    params, x, x_len, eos, max_steps_cap=int(x.shape[1])
-                )
+                # The token buffer must hold factor*L hypotheses: the
+                # LibriSpeech recipe decodes up to 2L steps
+                # (librispeech/train.lua:251-252), which EXCEEDS the
+                # padded input length — capping at L_pad would silently
+                # chop the budget for any utterance longer than L_pad/2.
+                cap = int(math.ceil(self.tcfg.eval_len_factor * x.shape[1]))
+                res = self.decode_fn(params, x, x_len, eos, max_steps_cap=cap)
                 pred = np.asarray(res.tokens)
                 plen = np.asarray(res.lengths)
                 if self.vocab is not None and batch.y39 is not None:
-                    targets = batch.y39
-                    mapper = self.vocab.map_ids_61_to_39
+                    targets = np.asarray(batch.y39)
+                    pred = self.vocab.map_ids_61_to_39(pred)
                 else:
-                    targets = batch.y
-                    mapper = lambda ids: ids
-                for i in range(pred.shape[0]):
-                    p39 = mapper(pred[i, : plen[i]])
-                    t39 = targets[i, : batch.y_len[i]]
-                    dists.append(
-                        metrics_lib.edit_distance(p39, t39) / max(len(t39), 1)
-                    )
-                    tlens.append(len(t39))
+                    targets = np.asarray(batch.y)
+                # corpus scoring via the native batch kernel
+                # (native/editdist.cpp::asr_batch_edit_distance)
+                d = metrics_lib.batch_edit_distance(
+                    pred, plen, targets, batch.y_len
+                )
+                tl = np.maximum(np.asarray(batch.y_len), 1)
+                dists.extend((d / tl).tolist())
+                tlens.extend(tl.tolist())
         acc = {k: float(v) for k, v in (acc_dev or {}).items()}
         out = {
             "valid_nll": acc.get("nll", 0.0) / max(acc.get("n", 0.0), 1.0),

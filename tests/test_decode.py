@@ -157,6 +157,23 @@ def test_beam_batch_matches_solo(tiny_attention):
         assert float(batch.scores[i]) == pytest.approx(float(solo.scores[0]), abs=1e-4)
 
 
+def test_beam_budget_exceeds_padded_length(tiny_attention):
+    """The 2L budget (eval_len_factor=2.0, librispeech/train.lua:251-252)
+    must survive past the padded input length: with an eos id that is
+    never emitted, every hypothesis force-finishes at max_steps=2L and
+    holds 2L+1 tokens — strictly longer than L_pad."""
+    cfg, params = tiny_attention
+    l, v, k = 6, cfg.output_depth, 3
+    h = jax.random.normal(jax.random.PRNGKey(13), (1, l, cfg.annotation_depth))
+    res = beam_search(
+        params, cfg, h, jnp.array([l]), eos_id=v,  # v is out of range: no eos
+        k=k, max_steps=jnp.array([2 * l]), max_steps_cap=2 * l,
+    )
+    assert int(res.lengths[0]) == 2 * l + 1
+    assert int(res.lengths[0]) > l
+    assert res.tokens.shape[1] == 2 * l + 1
+
+
 def test_greedy_terminates_and_scores(tiny_attention):
     cfg, params = tiny_attention
     l = 8
