@@ -289,12 +289,20 @@ def decode_teacher_forced(
     unroll: int = 1,
     axis_name: Optional[str] = None,
     backend: str = "auto",
+    with_readout: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Teacher-forced decode over all T output steps.
 
     h: (B, L, A) encoder annotations; labels_onehot: (B, T, V);
     dec_mask: (B, T) decoder-step validity. Returns dict with
     logprobs (B, T, V), alpha (B, T, L), penalty (B, T).
+
+    with_readout=False returns {s, c, alpha, penalty} without running
+    the readout MLP — the sequence-sharded wrapper
+    (parallel/seq_attention.py) hoists the readout OUT of its shard_map
+    so it runs once under GSPMD instead of redundantly per sp shard,
+    and so its dropout mask is drawn at global batch shape (bitwise
+    identical across mesh shapes).
 
     The readout MLP runs outside the scan over the stacked (s, c) pairs
     so its matmuls are (B*T)-batched on the MXU.
@@ -358,14 +366,14 @@ def decode_teacher_forced(
                 s_seq, c_seq, alpha_seq = _as.attention_decode_scan(
                     *common, block_b, interpret,
                 )
-            logprobs = apply_readout(
+            out = {"alpha": alpha_seq, "penalty": jnp.zeros_like(dec_mask)}
+            if not with_readout:
+                out.update(s=s_seq, c=c_seq)
+                return out
+            out["logprobs"] = apply_readout(
                 params, cfg, s_seq, c_seq, dropout_rng=dropout_rng, train=train
             )
-            return {
-                "logprobs": logprobs,
-                "alpha": alpha_seq,
-                "penalty": jnp.zeros_like(dec_mask),
-            }
+            return out
     # Zero initial state (Recurrent.lua zero-state templates), derived
     # from the traced inputs so it inherits their varying-manual-axes
     # under shard_map (alpha varies with h over dp/sp; s/mem vary with
@@ -394,11 +402,14 @@ def decode_teacher_forced(
     _, (s_seq, c_seq, alpha_seq, pen_seq) = jax.lax.scan(step, state0, xs, unroll=unroll)
     s_seq = jnp.swapaxes(s_seq, 0, 1)  # (B, T, S)
     c_seq = jnp.swapaxes(c_seq, 0, 1)  # (B, T, A)
-    logprobs = apply_readout(
-        params, cfg, s_seq, c_seq, dropout_rng=dropout_rng, train=train
-    )
-    return {
-        "logprobs": logprobs,
+    out = {
         "alpha": jnp.swapaxes(alpha_seq, 0, 1),
         "penalty": jnp.swapaxes(pen_seq, 0, 1),
     }
+    if not with_readout:
+        out.update(s=s_seq, c=c_seq)
+        return out
+    out["logprobs"] = apply_readout(
+        params, cfg, s_seq, c_seq, dropout_rng=dropout_rng, train=train
+    )
+    return out

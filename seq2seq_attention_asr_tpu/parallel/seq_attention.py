@@ -42,6 +42,8 @@ def sharded_decode_teacher_forced(
     labels_onehot: jnp.ndarray,
     dec_mask: jnp.ndarray,
     *,
+    dropout_rng: Optional[jax.Array] = None,
+    train: bool = False,
     unroll: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Teacher-forced decode with h sharded (B/dp, L/sp, A).
@@ -49,6 +51,12 @@ def sharded_decode_teacher_forced(
     Padded L must divide the sp axis size. Returns the same dict as
     attention.decode_teacher_forced; `alpha` comes back sharded over
     positions, logprobs/penalty replicated over sp.
+
+    The readout MLP (and its dropout) runs OUTSIDE the shard_map: the
+    (s, c) sequences it consumes are sp-replicated, so hoisting it (a)
+    avoids computing the readout redundantly on every sp shard and (b)
+    draws the dropout mask at global batch shape under GSPMD — bitwise
+    identical across mesh shapes (tests/test_parallel.py parity).
     """
 
     @functools.partial(
@@ -62,7 +70,8 @@ def sharded_decode_teacher_forced(
             P(DATA_AXIS, None),  # dec_mask
         ),
         out_specs={
-            "logprobs": P(DATA_AXIS, None, None),
+            "s": P(DATA_AXIS, None, None),
+            "c": P(DATA_AXIS, None, None),
             "alpha": P(DATA_AXIS, None, SEQ_AXIS),
             "penalty": P(DATA_AXIS, None),
         },
@@ -70,10 +79,16 @@ def sharded_decode_teacher_forced(
     def run(p, h_loc, lens, onehot, dmask):
         return attention.decode_teacher_forced(
             p, cfg, h_loc, lens, onehot, dmask,
-            unroll=unroll, axis_name=SEQ_AXIS,
+            unroll=unroll, axis_name=SEQ_AXIS, with_readout=False,
         )
 
-    return run(params, h, enc_lengths, labels_onehot, dec_mask)
+    out = run(params, h, enc_lengths, labels_onehot, dec_mask)
+    logprobs = attention.apply_readout(
+        params, cfg, out.pop("s"), out.pop("c"),
+        dropout_rng=dropout_rng, train=train,
+    )
+    out["logprobs"] = logprobs
+    return out
 
 
 def sharded_beam_search(

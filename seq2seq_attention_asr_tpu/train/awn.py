@@ -100,8 +100,7 @@ def grads(state: AWNState, grad_w, lam: float) -> AWNState:
     """
     sigma2 = jax.tree.map(jnp.exp, state.s)
     d_s_nll = jax.tree.map(lambda g, v: 0.5 * g * g * v, grad_w, sigma2)
-    # lam may be a traced scalar (the trainer divides by the batch's
-    # live token count inside jit); only take the static-zero shortcut
+    # lam may be a traced scalar; only take the static-zero shortcut
     # when it is a concrete Python number. For lam == 0 the general
     # formulas below reduce to the shortcut anyway.
     if isinstance(lam, (int, float)) and lam <= 0.0:

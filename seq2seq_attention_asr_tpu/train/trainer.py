@@ -50,6 +50,10 @@ class TrainConfig:
     normalize_nll: bool = False  # opt.normalizeNLL
     normalize_grad: bool = False  # opt.normalizeGrad (grad /= T)
     noise: str = "none"  # "none" | "awn" | "weight" (opt.adaweightnoise / weightnoise)
+    # opt.adalambda: KL weight, ~= 1/num_train_samples (Graves 2011).
+    # The reference defaults it to 1 (AdaptiveWeightNoise.lua:18) but
+    # every real recipe passes 1/B; too-large values make the KL
+    # shrinkage dominate the NLL gradient and stall learning.
     awn_lambda: float = 1.0
     awn_sigma_init: float = 0.075
     weight_noise_sigma: float = 0.0
@@ -57,6 +61,7 @@ class TrainConfig:
     max_samples: Optional[int] = None  # opt.maxnumsamples
     eval_len_factor: float = 1.0  # beam maxseqlen = factor * L (2.0 for librispeech)
     dump_attention: bool = False  # per-epoch alpha/Ws/Vh dump (timit.lua:540-550)
+    dump_predictions: bool = False  # per-epoch beam outputs (predictions.t7, timit.lua:552)
     nan_debug: bool = True  # NaN tripwire (TrainUtils.lua:55-93 parity)
     prefetch: int = 2  # async feeder-thread depth (0 disables)
     seed: int = 1
@@ -67,14 +72,33 @@ def _one_hot_labels(y, dec_mask, v):
     return jax.nn.one_hot(y, v, dtype=dec_mask.dtype) * dec_mask[..., None]
 
 
-def make_train_step(
+def make_init_fn(tx: optax.GradientTransformation, tcfg: TrainConfig):
+    """State constructor shared by the single-chip and sharded steps:
+    (model params, rng key) -> (train_params, opt_state, rng), where
+    train_params is an AWNState when tcfg.noise == "awn"."""
+    use_awn = tcfg.noise == "awn"
+
+    def init_fn(params: Params, rng: jax.Array):
+        train_params = (
+            awn_lib.init(params, tcfg.awn_sigma_init) if use_awn else params
+        )
+        return (train_params, tx.init(train_params), rng)
+
+    return init_fn
+
+
+def make_step_core(
     forward_fn: Callable[..., Dict[str, jnp.ndarray]],
     tx: optax.GradientTransformation,
     ocfg: optim_lib.OptimConfig,
     tcfg: TrainConfig,
     output_depth: int,
 ):
-    """Returns (init_fn, step_fn).
+    """The ONE loss/grad/update core, shared by the single-chip jitted
+    step (make_train_step) and the dp x sp sharded step
+    (parallel/dp.py) so that noise sampling, dropout rng, the monotonic
+    penalty reporting, and the column-norm projection behave identically
+    on both paths.
 
     forward_fn(params, x, x_len, labels_onehot, dec_mask, dropout_rng,
     train) -> dict(logprobs, alpha, penalty).
@@ -88,12 +112,6 @@ def make_train_step(
     """
     use_awn = tcfg.noise == "awn"
     use_wn = tcfg.noise == "weight"
-
-    def init_fn(params: Params, rng: jax.Array):
-        train_params = (
-            awn_lib.init(params, tcfg.awn_sigma_init) if use_awn else params
-        )
-        return (train_params, tx.init(train_params), rng)
 
     def _loss(model_params, x, x_len, onehot, dec_mask, dropout_rng):
         out = forward_fn(
@@ -119,10 +137,13 @@ def make_train_step(
             (loss, out), grads_w = jax.value_and_grad(_loss, has_aux=True)(
                 w, x, x_len, onehot, dec_mask, dropout_rng
             )
-            n_batch = jnp.asarray(x.shape[0], jnp.float32)
-            grads = awn_lib.grads(
-                train_params, grads_w, tcfg.awn_lambda / jnp.maximum(n_batch, 1.0)
-            )
+            # The reference averages the per-sample NLL grads over the
+            # batch and then adds the FULL lambda-weighted KL grads once
+            # per optimizer step (timit.lua:292-295 then :325-330), so
+            # the per-step objective is mean NLL + lambda*KL. lambda is
+            # opt.adalambda ~= 1/num_train_samples (Graves 2011;
+            # AdaptiveWeightNoise.lua:18 "equals 1/B").
+            grads = awn_lib.grads(train_params, grads_w, tcfg.awn_lambda)
             # reported objective: mean NLL + lambda*KL (AWN:updateOutput)
             loss_report = loss + tcfg.awn_lambda * awn_lib.kl(train_params)
         else:
@@ -165,7 +186,21 @@ def make_train_step(
         }
         return (train_params, opt_state, rng), metrics
 
-    return init_fn, step_fn
+    return step_fn
+
+
+def make_train_step(
+    forward_fn: Callable[..., Dict[str, jnp.ndarray]],
+    tx: optax.GradientTransformation,
+    ocfg: optim_lib.OptimConfig,
+    tcfg: TrainConfig,
+    output_depth: int,
+):
+    """Returns (init_fn, step_fn) — see make_step_core for semantics."""
+    return (
+        make_init_fn(tx, tcfg),
+        make_step_core(forward_fn, tx, ocfg, tcfg, output_depth),
+    )
 
 
 def eval_params(tcfg: TrainConfig, train_params):
@@ -203,12 +238,14 @@ def make_decode_step(
     attention_cfg,
     beam_k: int,
     len_factor: float = 1.0,
+    backend: str = "auto",
 ):
     """Beam-search decode over a batch: encode then search.
 
     encode_fn(params, x, x_len) -> (annotations, annotation_lengths)
     (models downsample time, so lengths transform). eos per sample is
-    the final target token (timit.lua:398).
+    the final target token (timit.lua:398). backend feeds the fused
+    single-step attention kernel selection (decode/beam.py).
     """
 
     def decode_fn(params, x, x_len, eos_id, max_steps_cap: int):
@@ -219,6 +256,7 @@ def make_decode_step(
         return beam_lib.beam_search(
             params["decoder"], attention_cfg, h, h_len, eos_id,
             k=beam_k, max_steps=max_steps, max_steps_cap=max_steps_cap,
+            backend=backend,
         )
 
     return decode_fn
@@ -303,6 +341,7 @@ class Trainer:
             self.model.attention_cfg,
             self.tcfg.beam_k,
             self.tcfg.eval_len_factor,
+            backend=getattr(self.model.cfg, "attn_backend", "auto"),
         )
         if jit:
             self.step_fn = jax.jit(step_fn, donate_argnums=0)
@@ -464,6 +503,10 @@ class Trainer:
         params = eval_params(self.tcfg, self.state[0])
         acc_dev = None  # device-side running sums (one sync at the end)
         dists, tlens = [], []
+        dump_pred = (
+            decode and self.tcfg.dump_predictions and self.save_dir
+        )
+        pred_rows = []  # (uids, pred, plen, scores, targets, tlen)
         t0 = time.time()
         first = True
         eval_it = batcher.batches(
@@ -507,6 +550,14 @@ class Trainer:
                 tl = np.maximum(np.asarray(batch.y_len), 1)
                 dists.extend((d / tl).tolist())
                 tlens.extend(tl.tolist())
+                if dump_pred:
+                    pred_rows.append((
+                        list(batch.uids), pred, plen,
+                        np.asarray(res.scores), targets,
+                        np.asarray(batch.y_len),
+                    ))
+        if dump_pred and pred_rows:
+            self._dump_predictions(pred_rows)
         acc = {k: float(v) for k, v in (acc_dev or {}).items()}
         out = {
             "valid_nll": acc.get("nll", 0.0) / max(acc.get("n", 0.0), 1.0),
@@ -518,24 +569,73 @@ class Trainer:
             out["valid_per"] = float(np.mean(dists))
         return out
 
+    def _dump_predictions(self, rows):
+        """Per-epoch beam-output dump — parity with predictions.t7
+        (timit.lua:552: the whole valid set's decoded hypotheses saved
+        every epoch; best-metric copies in fit()). One npz with the
+        padded token matrices, lengths, scores, and targets."""
+        m = max(r[1].shape[1] for r in rows)
+        tm = max(r[4].shape[1] for r in rows)
+        pad = lambda a, w: np.pad(a, ((0, 0), (0, w - a.shape[1])))
+        np.savez(
+            os.path.join(self.save_dir, f"predictions_epoch{self.epoch + 1}.npz"),
+            uids=np.asarray([u for r in rows for u in r[0]]),
+            tokens=np.concatenate([pad(r[1], m) for r in rows]),
+            lengths=np.concatenate([r[2] for r in rows]),
+            scores=np.concatenate([r[3] for r in rows]),
+            targets=np.concatenate([pad(r[4], tm) for r in rows]),
+            target_lengths=np.concatenate([r[5] for r in rows]),
+        )
+
+    def _copy_predictions(self, tag: str):
+        """predictions_best_*.t7 parity (timit.lua:555-562): snapshot
+        the current epoch's prediction dump under the best-metric name."""
+        if not (self.tcfg.dump_predictions and self.save_dir):
+            return
+        import shutil
+
+        src = os.path.join(self.save_dir, f"predictions_epoch{self.epoch}.npz")
+        if os.path.exists(src):
+            shutil.copyfile(
+                src, os.path.join(self.save_dir, f"predictions_{tag}.npz")
+            )
+
     def _maybe_dump_attention(self, params, batch):
         """Per-epoch attention introspection dump — parity with the
-        reference's HDF5 log of alpha maps and the Ws/Vh projections
-        (updateLog, timit.lua:540-550; graph introspection
-        Attention.lua:214-250). Writes attn_epoch{N}.npz with the first
-        valid batch's alpha (B, T, L) plus the score-projection weights."""
+        reference's HDF5 log fields (timit.lua:540-550): the alpha maps
+        plus the Ws/Vh PROJECTIONS (decoder:Ws() = Ws(s_{t-1}) per
+        output step and decoder.Vh.output = Vh(h) per encoder frame —
+        graph introspection Attention.lua:214-250) and the output
+        logprobs, for the first valid batch. Writes attn_epoch{N}.npz."""
         if not (self.tcfg.dump_attention and self.save_dir):
             return
+        from ..ops import attention as attention_ops
+
         x, x_len, y, dec_mask = self._batch_arrays(batch)
         onehot = _one_hot_labels(y, dec_mask, self.model.output_depth)
-        out = self.model.forward(params, x, x_len, onehot, dec_mask, train=False)
         dec = params["decoder"]
+        cfg = self.model.attention_cfg
+        h, h_len = self.model.encode(params, x, x_len)
+        out = attention_ops.decode_teacher_forced(
+            dec, cfg, h, h_len, onehot, dec_mask, with_readout=False
+        )
+        logprobs = attention_ops.apply_readout(dec, cfg, out["s"], out["c"])
+        # Ws(s_{t-1}): the state projection each step's energies used;
+        # s_prev is the saved s sequence shifted right with zero init.
+        s_prev = jnp.concatenate(
+            [jnp.zeros_like(out["s"][:, :1]), out["s"][:, :-1]], axis=1
+        )
+        ws_proj = s_prev @ dec["ws"]["w"] + dec["ws"]["b"]
+        vh_proj = attention_ops.precompute_vh(dec, h)
         np.savez(
             os.path.join(self.save_dir, f"attn_epoch{self.epoch + 1}.npz"),
             alpha=np.asarray(out["alpha"]),
+            ws=np.asarray(ws_proj),  # (B, T, scoreDepth)
+            vh=np.asarray(vh_proj),  # (B, L, scoreDepth)
+            output=np.asarray(logprobs),
             uids=np.asarray(batch.uids),
-            ws=np.asarray(dec["ws"]["w"]),
-            vh=np.asarray(dec["v"]),
+            x_len=np.asarray(batch.x_len),
+            y_len=np.asarray(batch.y_len),
         )
 
     # -- full fit -----------------------------------------------------------
@@ -603,7 +703,9 @@ class Trainer:
             if row["valid_accuracy"] > self.best["valid_accuracy"]:
                 self.best["valid_accuracy"] = row["valid_accuracy"]
                 self.save_checkpoint("best_valid_accuracy")
+                self._copy_predictions("best_valid_accuracy")
             if row.get("valid_per", float("inf")) < self.best["valid_per"]:
                 self.best["valid_per"] = row["valid_per"]
                 self.save_checkpoint("best_valid_PER")
+                self._copy_predictions("best_valid_PER")
             yield row

@@ -286,3 +286,61 @@ def test_chunked_out_of_core_training(tmp_path):
     assert all(np.isfinite(r["train_nll"]) for r in rows)
     # both chunks' samples were seen each epoch (4 + 4)
     assert rows[0]["train_samples_per_s"] > 0
+
+
+def test_eval_artifact_dumps(tmp_path):
+    """Per-epoch eval artifacts match the reference's log.h5 field list
+    (timit.lua:540-562): alpha maps, Ws/Vh PROJECTIONS (not raw weight
+    matrices), output logprobs, and the valid set's beam predictions
+    with best-metric copies."""
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.data import batching, timit
+    from seq2seq_attention_asr_tpu.models import registry
+    from seq2seq_attention_asr_tpu.train import optim as optim_lib
+    from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
+
+    rng = np.random.RandomState(0)
+    n = 4
+    ds = timit.Dataset(
+        x=[rng.randn(12 + i, 8).astype(np.float32) for i in range(n)],
+        y=[rng.randint(0, 6, (3 + i % 2,)).astype(np.int32) for i in range(n)],
+        y39=None, uids=[f"u{i}" for i in range(n)],
+        start=[np.zeros(0)] * n, finish=[np.zeros(0)] * n,
+    )
+    model = registry.build(
+        "chorowski", input_frame_size=8, hidden_frame_size=8,
+        output_frame_size=8, score_depth=12, state_depth=8, mlp_depth=8,
+        output_depth=7, feature_maps=0, filt_size=5,
+    )
+    tcfg = trainer_lib.TrainConfig(
+        num_epochs=1, batch_size=4, beam_k=2, prefetch=0,
+        dump_attention=True, dump_predictions=True,
+    )
+    tr = trainer_lib.Trainer(
+        model, optim_lib.OptimConfig(), tcfg, save_dir=str(tmp_path)
+    )
+    tr.init(model.init(jax.random.PRNGKey(0)))
+    batcher = batching.BucketedBatcher.from_dataset(ds, 4, n_buckets=1)
+    rows = list(tr.fit(ds, ds, batcher, decode_every=1))
+    assert len(rows) == 1
+
+    attn = np.load(tmp_path / "attn_epoch1.npz")
+    b, t_pad = attn["alpha"].shape[:2]
+    assert attn["alpha"].shape[0] == n
+    # projections, not weights: Ws (B, T, score), Vh (B, L, score)
+    assert attn["ws"].shape == (b, t_pad, 12)
+    assert attn["vh"].shape[0] == b and attn["vh"].shape[2] == 12
+    assert attn["output"].shape == (b, t_pad, 7)
+    # alpha rows are a softmax over encoder positions
+    np.testing.assert_allclose(attn["alpha"].sum(-1), 1.0, atol=1e-5)
+
+    preds = np.load(tmp_path / "predictions_epoch1.npz")
+    assert list(preds["uids"]) == [f"u{i}" for i in range(n)]
+    assert preds["tokens"].shape[0] == n
+    assert preds["targets"].shape[0] == n
+    assert np.all(preds["lengths"] >= 1)
+    # epoch 1 is trivially the best epoch -> best-metric copies exist
+    assert (tmp_path / "predictions_best_valid_accuracy.npz").exists()
+    assert (tmp_path / "predictions_best_valid_PER.npz").exists()
