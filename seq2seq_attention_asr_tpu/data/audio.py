@@ -4,10 +4,9 @@ The reference reads audio with scikits.audiolab's ``Sndfile``
 (/root/reference/timit/preprocess_timit.py:197-198), which returns
 float frames normalized to [-1, 1). TIMIT ships NIST SPHERE files with
 a ``.WAV`` extension; LibriSpeech ships FLAC. audiolab handled both via
-libsndfile; here WAV/SPHERE are parsed natively and FLAC is gated
-behind a clear error (convert with ``ffmpeg``/``sox``/``flac -d`` to
-WAV first, or pass PCM arrays / ``.npy`` files directly — every
-pipeline entry point also accepts raw arrays).
+libsndfile; here all three containers are parsed natively (FLAC via
+the C++ decoder in native/flacdec.cpp with a pure-Python fallback,
+data/flac.py).
 """
 
 from __future__ import annotations
@@ -120,8 +119,7 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
     if magic.startswith(b"RIFF"):
         return read_riff_wav(path)
     if magic.startswith(b"fLaC"):
-        raise UnsupportedAudioFormat(
-            f"{path}: FLAC decoding is not built in — convert to WAV "
-            "(e.g. `flac -d` or `ffmpeg -i x.flac x.wav`) or pass PCM arrays."
-        )
+        from . import flac
+
+        return flac.read_flac(path)
     raise UnsupportedAudioFormat(f"{path}: unrecognized audio container")

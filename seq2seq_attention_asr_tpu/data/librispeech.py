@@ -3,12 +3,11 @@
 Re-implementation of /root/reference/librispeech/preprocess.py and the
 Lua-side loaders (librispeech/utils_librispeech.lua):
   - corpus walk pairing .trans .txt files with audio (:63-81). The
-    reference reads FLAC via audiolab; FLAC decode is gated (see
-    data/audio.py) so point this at a WAV-converted mirror, or pass
-    pre-extracted PCM via `pcm_lookup`;
+    reference reads FLAC via audiolab; here FLAC decodes natively
+    (native/flacdec.cpp with the data/flac.py pure-Python fallback);
   - char & word vocabularies over the transcriptions with <eos>
     appended per utterance (:83-111) — 0-based here (Torch used
-    1-based);
+    1-based); `labelset` selects which one becomes the target ids;
   - chunked training set: N HDF5 chunk files + a `train.db` manifest +
     `meta.txt` (inputFrameSize, sample counts, vocab sizes) (:246-307),
     enabling out-of-core training (librispeech/train.lua:82-103);
@@ -50,6 +49,30 @@ class CharVocab:
     def ids_to_chars(self, ids) -> str:
         inv = {v: k for k, v in self.charmap.items()}
         return "".join(inv[int(i)] for i in ids if inv.get(int(i)) != EOS)
+
+    def words_to_ids(self, text: str) -> np.ndarray:
+        """Word-level targets (labelset='words',
+        utils_librispeech.lua:49-66; vocab built at preprocess.py:95-104)."""
+        return np.array(
+            [self.wordmap[w] for w in text.split()] + [self.wordmap[EOS]],
+            np.int32,
+        )
+
+    def ids_to_words(self, ids) -> str:
+        inv = {v: k for k, v in self.wordmap.items()}
+        return " ".join(inv[int(i)] for i in ids if inv.get(int(i)) != EOS)
+
+    def to_ids(self, text: str, labelset: str = "chars") -> np.ndarray:
+        if labelset == "chars":
+            return self.chars_to_ids(text)
+        if labelset == "words":
+            return self.words_to_ids(text)
+        raise ValueError(f"labelset must be 'chars' or 'words', got {labelset!r}")
+
+    def size(self, labelset: str = "chars") -> int:
+        """Model output_depth for the chosen labelset (numchars /
+        numwords in meta.txt, preprocess.py:299-304)."""
+        return self.num_chars if labelset == "chars" else self.num_words
 
 
 def build_vocab(transcripts: List[str]) -> CharVocab:
@@ -95,10 +118,14 @@ def build_datasets(
     pad: int = 1,
     max_utts: Optional[int] = None,
     vocab: Optional[CharVocab] = None,
+    labelset: str = "chars",
 ) -> Tuple[Dict[str, Dataset], CharVocab, np.ndarray, np.ndarray]:
     """roots: {"train": dir, "valid": dir, "test": dir}. Returns
     ({split: Dataset}, vocab, mean, std). Normalization stats come from
-    the train split; pad=1 matches preprocess.py:286."""
+    the train split; pad=1 matches preprocess.py:286. labelset selects
+    character or word targets (opt.labelset, librispeech/train.lua:28 +
+    utils_librispeech.lua:49-66); the model's output_depth must then be
+    vocab.size(labelset)."""
     walked = {k: walk_corpus(v) for k, v in roots.items()}
     if max_utts:
         walked = {k: v[:max_utts] for k, v in walked.items()}
@@ -132,7 +159,7 @@ def build_datasets(
         return Dataset(
             uids=[uid for uid, _, _ in split],
             x=[f.astype(np.float32) for f in fs],
-            y=[vocab.chars_to_ids(t) for _, _, t in split],
+            y=[vocab.to_ids(t, labelset) for _, _, t in split],
             y39=None,
             start=[np.zeros(0, np.int64)] * len(split),
             finish=[np.zeros(0, np.int64)] * len(split),

@@ -17,6 +17,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 SOURCES = {
     "editdist": ["editdist.cpp"],
     "packing": ["packing.cpp"],
+    "flacdec": ["flacdec.cpp"],
 }
 
 

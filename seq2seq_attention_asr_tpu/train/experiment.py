@@ -116,6 +116,20 @@ def librispeech_chorowski(
     return exp
 
 
+def librispeech_chorowski_words(
+    num_words: int, data_path: Optional[str] = None, save_dir: Optional[str] = None
+) -> Experiment:
+    """Word-target LibriSpeech recipe (opt.labelset = 'words',
+    librispeech/train.lua:28 + utils_librispeech.lua:49-66): identical
+    architecture, output layer sized to the word vocabulary, WER
+    scoring (the generic edit-distance metric over word ids)."""
+    exp = librispeech_chorowski(
+        num_chars=num_words, data_path=data_path, save_dir=save_dir
+    )
+    exp.name = "exp_librispeech_chorowski_words"
+    return exp
+
+
 def timit_conv_bilstm(
     data_path: Optional[str] = None, save_dir: Optional[str] = None
 ) -> Experiment:
@@ -230,9 +244,14 @@ def run_cli(builder, dataset: str, argv=None, source_file: Optional[str] = None)
         vocab = timit_data.Vocab.standard()
     elif dataset == "librispeech":
         meta = ls.load_meta(args.data)
-        exp = builder(
-            num_chars=meta["numchars"], data_path=args.data, save_dir=args.save
+        # output depth follows the labelset the chunks were built with
+        # (meta.txt numchars/numwords, utils_librispeech.lua:38-46)
+        n_out = (
+            meta["numwords"]
+            if meta.get("labelset_words", 0)
+            else meta["numchars"]
         )
+        exp = builder(n_out, data_path=args.data, save_dir=args.save)
         # Out-of-core: one chunk resident at a time, shuffled chunk
         # order per epoch (librispeech/train.lua:82-103).
         chunk_paths = ls.load_manifest(args.data)

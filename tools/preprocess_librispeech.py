@@ -4,13 +4,16 @@
 
 Builds char/word vocabularies, extracts features, and writes a chunked
 train set (trainN.h5 + train.db manifest) plus valid/test HDF5 and
-meta.txt. FLAC must be pre-converted to WAV (data/audio.py gates FLAC);
---script-test truncates to a tiny smoke dataset like the reference's
---script_test (preprocess.py:35-39).
+meta.txt. FLAC decodes natively (native/flacdec.cpp, pure-Python
+fallback in data/flac.py). --labelset picks character or word targets
+(opt.labelset, librispeech/train.lua:28); --script-test truncates to a
+tiny smoke dataset like the reference's --script_test
+(preprocess.py:35-39).
 
 Usage:
   python tools/preprocess_librispeech.py --train DIR --valid DIR \
-      --test DIR --out ./data [--chunks 8] [--script-test]
+      --test DIR --out ./data [--chunks 8] [--labelset chars|words] \
+      [--script-test]
 """
 
 import argparse
@@ -32,6 +35,7 @@ def main():
     ap.add_argument("--test", default=None)
     ap.add_argument("--out", required=True)
     ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--labelset", choices=("chars", "words"), default="chars")
     ap.add_argument("--script-test", action="store_true")
     args = ap.parse_args()
 
@@ -40,7 +44,8 @@ def main():
         roots["test"] = args.test
     max_utts = 20 if args.script_test else None
     datasets, vocab, mean, std = ls.build_datasets(
-        roots, feature_fn=features.logmel_np, pad=1, max_utts=max_utts
+        roots, feature_fn=features.logmel_np, pad=1, max_utts=max_utts,
+        labelset=args.labelset,
     )
     os.makedirs(args.out, exist_ok=True)
     n_chunks = 5 if args.script_test else args.chunks
@@ -61,6 +66,7 @@ def main():
             "testsamples": len(datasets.get("test", [])),
             "numchars": vocab.num_chars,
             "numwords": vocab.num_words,
+            "labelset_words": 1 if args.labelset == "words" else 0,
         },
     )
     with open(os.path.join(args.out, "chars.txt"), "w") as f:
