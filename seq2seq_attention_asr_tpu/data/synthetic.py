@@ -1,0 +1,101 @@
+"""Synthetic learnable speech-shaped corpora for convergence testing.
+
+The reference has no test suite and no published quality numbers
+(SURVEY.md §4/§6); its north star is a beam-search PER on real TIMIT
+(/root/reference/timit/timit.lua:397-415). Real corpora are not
+redistributable, so the framework's convergence harness trains on a
+synthetic task with the SAME structure the attention model must learn
+on TIMIT: a sequence of discrete "phones", each emitting a variable
+number of feature frames drawn from a per-phone prototype plus noise.
+An encoder-attention-decoder that cannot learn monotonic alignment,
+the per-phone feature identity, and EOS termination cannot drive PER
+to zero here — so a falling PER trajectory on this corpus is a real
+end-to-end learning signal for the whole recipe (features excepted).
+
+`make_corpus` returns a data.timit.Dataset, so every downstream layer
+(bucketed batcher, trainer, beam decoder, PER scorer) runs unmodified.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .timit import Dataset
+
+
+def make_corpus(
+    n_utts: int,
+    n_phones: int = 7,
+    feat_dim: int = 16,
+    min_len: int = 3,
+    max_len: int = 8,
+    frames_per_phone: Tuple[int, int] = (3, 7),
+    noise: float = 0.3,
+    seed: int = 0,
+    prototypes: Optional[np.ndarray] = None,
+) -> Tuple[Dataset, np.ndarray, int]:
+    """Build a learnable corpus of `n_utts` utterances.
+
+    Vocabulary: ids 0..n_phones-1 are emitting phones; id n_phones is
+    <EOS> (appended to every target, matching preprocess_timit.py:99-102
+    semantics). Each phone id owns a fixed random prototype vector;
+    a phone token emits uniform(min,max) frames of prototype + N(0,
+    noise^2). Returns (dataset, prototypes, vocab_size). Pass the
+    returned `prototypes` back in to draw a disjoint split (e.g. a
+    validation set) from the SAME underlying phone->feature mapping.
+    """
+    rng = np.random.RandomState(seed)
+    if prototypes is None:
+        # well-separated prototypes: scaled random orthonormal-ish rows
+        proto_rng = np.random.RandomState(10_000 + seed)
+        prototypes = proto_rng.randn(n_phones, feat_dim).astype(np.float32)
+        prototypes /= np.linalg.norm(prototypes, axis=1, keepdims=True)
+        prototypes *= 2.0
+    else:
+        n_phones = prototypes.shape[0]
+        feat_dim = prototypes.shape[1]
+    eos = n_phones
+    vocab_size = n_phones + 1
+
+    xs, ys, starts, finishes, uids = [], [], [], [], []
+    for i in range(n_utts):
+        t = rng.randint(min_len, max_len + 1)
+        phones = rng.randint(0, n_phones, size=t)
+        frames, st, fi = [], [], []
+        pos = 0
+        for p in phones:
+            d = rng.randint(frames_per_phone[0], frames_per_phone[1] + 1)
+            f = prototypes[p][None, :] + noise * rng.randn(d, feat_dim)
+            frames.append(f.astype(np.float32))
+            st.append(pos)
+            fi.append(pos + d)
+            pos += d
+        x = np.concatenate(frames, axis=0)
+        y = np.concatenate([phones, [eos]]).astype(np.int32)
+        xs.append(x)
+        ys.append(y)
+        # <EOS> repeats the last phone's span (preprocess_timit.py:99-102)
+        starts.append(np.asarray(st + [st[-1]], np.int64))
+        finishes.append(np.asarray(fi + [fi[-1]], np.int64))
+        uids.append(f"syn{seed}_{i}")
+
+    ds = Dataset(uids=uids, x=xs, y=ys, y39=None, start=starts, finish=finishes)
+    return ds, prototypes, vocab_size
+
+
+def train_valid(
+    n_train: int,
+    n_valid: int,
+    seed: int = 0,
+    **kwargs,
+) -> Tuple[Dataset, Dataset, int]:
+    """Disjoint train/valid splits over one phone->feature mapping."""
+    train, protos, v = make_corpus(n_train, seed=seed, **kwargs)
+    kwargs.pop("n_phones", None)
+    kwargs.pop("feat_dim", None)
+    valid, _, _ = make_corpus(
+        n_valid, seed=seed + 1, prototypes=protos, **kwargs
+    )
+    return train, valid, v
