@@ -56,6 +56,7 @@ def beam_search(
     max_steps: jnp.ndarray | None = None,
     max_steps_cap: int | None = None,
     axis_name: str | None = None,
+    backend: str = "auto",
 ) -> BeamResult:
     """h: (B, L, A) annotations. max_steps: (B,) per-sample cap
     (reference: utterance length L, or 2L for LibriSpeech); defaults to
@@ -68,7 +69,12 @@ def beam_search(
     bookkeeping is replicated over the sp axis, encoder state stays
     sharded; every shard computes identical top_k decisions because the
     psum'd context and logprobs are identical). max_steps_cap is
-    required under sharding (the default L would be the local length)."""
+    required under sharding (the default L would be the local length).
+
+    backend: "auto" | "xla" | "pallas" — "pallas" runs the per-step
+    attention through the fused single-step kernel
+    (ops/pallas/attention_step.py: vh/h fetched once per step, not K
+    times); "auto" picks it on TPU when the shapes qualify."""
     b, l_pad, _ = h.shape
     v = cfg.output_depth
     if max_steps is None:
@@ -87,13 +93,32 @@ def beam_search(
     enc_mask = (pos[None, :] < enc_lengths[:, None]).astype(dtype)
     vh = attention.precompute_vh(params, h)
 
-    # Expand encoder tensors over the beam axis once: (B, K, ...).
-    h_k = jnp.broadcast_to(h[:, None], (b, k) + h.shape[1:])
-    vh_k = jnp.broadcast_to(vh[:, None], (b, k) + vh.shape[1:])
-    mask_k = jnp.broadcast_to(enc_mask[:, None], (b, k, l_pad))
+    use_fused = False
+    if axis_name is None and backend in ("auto", "pallas"):
+        from ..ops.pallas import attention_step as _fused
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        if _fused.supported(cfg, b, k, l_pad, dtype) and (
+            backend == "pallas" or not interpret
+        ):
+            use_fused = True
+
+    # Expand encoder tensors over the beam axis once: (B, K, ...). The
+    # fused kernel never materializes these — only the XLA path does.
+    if not use_fused:
+        h_k = jnp.broadcast_to(h[:, None], (b, k) + h.shape[1:])
+        vh_k = jnp.broadcast_to(vh[:, None], (b, k) + vh.shape[1:])
+        mask_k = jnp.broadcast_to(enc_mask[:, None], (b, k, l_pad))
 
     def flat_step(state, y_prev):
-        """attention_step over the flattened (B*K) hypothesis batch."""
+        """One attention step over all (B, K) hypotheses."""
+        if use_fused:
+            new_state, out = _fused.fused_attention_step(
+                params, cfg, state, y_prev, vh, h, enc_mask,
+                interpret=interpret,
+            )
+            logp = attention.apply_readout(params, cfg, out["s"], out["c"])
+            return new_state, logp
         fs = jax.tree.map(lambda a: a.reshape((b * k,) + a.shape[2:]), state)
         new_fs, out = attention.attention_step(
             params, cfg, fs,

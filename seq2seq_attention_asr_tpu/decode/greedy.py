@@ -30,6 +30,7 @@ def greedy_decode(
     eos_id,
     max_steps: jnp.ndarray | None = None,
     max_steps_cap: int | None = None,
+    backend: str = "auto",
 ) -> GreedyResult:
     b, l_pad, _ = h.shape
     v = cfg.output_depth
@@ -45,13 +46,33 @@ def greedy_decode(
     vh = attention.precompute_vh(params, h)
     state0 = attention.init_state(cfg, b, l_pad, dtype)
 
+    use_fused = False
+    if backend in ("auto", "pallas"):
+        from ..ops.pallas import attention_step as _fused
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        if _fused.supported(cfg, b, 1, l_pad, dtype) and (
+            backend == "pallas" or not interpret
+        ):
+            use_fused = True
+
     def step(carry, t):
         state, last, done, total = carry
         onehot = jax.nn.one_hot(last, v, dtype=dtype)
         y_prev = jnp.where(jnp.equal(t, 0), jnp.zeros_like(onehot), onehot)
-        new_state, out = attention.attention_step(
-            params, cfg, state, y_prev, vh, h, enc_mask, ramp=None
-        )
+        if use_fused:
+            # K=1 hypothesis grid through the fused single-step kernel
+            st1 = jax.tree.map(lambda a: a[:, None], state)
+            new1, out1 = _fused.fused_attention_step(
+                params, cfg, st1, y_prev[:, None], vh, h, enc_mask,
+                interpret=interpret,
+            )
+            new_state = jax.tree.map(lambda a: a[:, 0], new1)
+            out = {kk: vv[:, 0] for kk, vv in out1.items()}
+        else:
+            new_state, out = attention.attention_step(
+                params, cfg, state, y_prev, vh, h, enc_mask, ramp=None
+            )
         logp = attention.apply_readout(params, cfg, out["s"], out["c"])
         tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         tok_lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]

@@ -342,3 +342,111 @@ def test_attention_scan_location_aware_matches_xla():
     for a, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_attention_step_matches_xla():
+    """Fused single-step decode kernel (ops/pallas/attention_step.py,
+    interpret) == attention.attention_step over the flattened (B*K)
+    batch — both plain and location-aware attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.ops import attention as att
+    from seq2seq_attention_asr_tpu.ops.pallas import attention_step as fused
+
+    for fm in (0, 3):
+        cfg = att.AttentionConfig(
+            score_depth=16, filt_size=5, feature_maps=fm, state_depth=16,
+            annotation_depth=24, output_depth=6, cell="gru",
+            mono_align=False, penalty_lambda=0.0, readout=(("linear", 6),),
+        )
+        params = att.attention_init(jax.random.PRNGKey(fm), cfg)
+        b, k, l = 4, 3, 16
+        rng = jax.random.PRNGKey(7)
+        h = jax.random.normal(rng, (b, l, 24))
+        lens = jnp.array([16, 9, 12, 5])
+        mask = (jnp.arange(l)[None] < lens[:, None]).astype(h.dtype)
+        vh = att.precompute_vh(params, h)
+        alpha0 = jax.nn.softmax(
+            jnp.where(mask[:, None] > 0,
+                      jax.random.normal(rng, (b, k, l)), -1e30), -1)
+        s0 = jax.random.normal(jax.random.PRNGKey(8), (b, k, 16)) * 0.3
+        mem0 = jnp.zeros((b, k, 16))
+        y = jax.nn.one_hot(
+            jax.random.randint(jax.random.PRNGKey(9), (b, k), 0, 6), 6,
+            dtype=h.dtype,
+        )
+        got_state, got = fused.fused_attention_step(
+            params, cfg, (alpha0, s0, mem0), y, vh, h, mask, interpret=True
+        )
+        # reference: flattened XLA step
+        flat = lambda a: a.reshape((b * k,) + a.shape[2:])
+        h_k = jnp.broadcast_to(h[:, None], (b, k, l, 24))
+        vh_k = jnp.broadcast_to(vh[:, None], (b, k) + vh.shape[1:])
+        m_k = jnp.broadcast_to(mask[:, None], (b, k, l))
+        want_state, want = att.attention_step(
+            params, cfg, (flat(alpha0), flat(s0), flat(mem0)), flat(y),
+            flat(vh_k), flat(h_k), flat(m_k), ramp=None,
+        )
+        for g, w in zip(got_state, want_state):
+            np.testing.assert_allclose(
+                np.asarray(g).reshape(w.shape), np.asarray(w),
+                rtol=2e-5, atol=2e-6, err_msg=f"feature_maps={fm}",
+            )
+        for key in ("s", "c", "alpha"):
+            np.testing.assert_allclose(
+                np.asarray(got[key]).reshape(want[key].shape),
+                np.asarray(want[key]), rtol=2e-5, atol=2e-6,
+                err_msg=f"feature_maps={fm} {key}",
+            )
+
+
+def test_beam_search_pallas_backend_matches_xla():
+    """beam_search(backend='pallas', interpret) returns identical
+    hypotheses/scores to the XLA step path."""
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.decode import beam as beam_lib
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=16, filt_size=5, feature_maps=0, state_depth=16,
+        annotation_depth=24, output_depth=6, cell="gru",
+        mono_align=False, penalty_lambda=0.0, readout=(("linear", 6),),
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    b, l = 4, 16
+    h = jax.random.normal(jax.random.PRNGKey(1), (b, l, 24)) * 0.5
+    lens = jnp.array([16, 9, 12, 5])
+    h = h * (jnp.arange(l)[None, :, None] < lens[:, None, None])
+    kw = dict(eos_id=2, k=3, max_steps=lens, max_steps_cap=l)
+    want = beam_lib.beam_search(params, cfg, h, lens, backend="xla", **kw)
+    got = beam_lib.beam_search(params, cfg, h, lens, backend="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(want.lengths))
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_greedy_pallas_backend_matches_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.decode import greedy as greedy_lib
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=16, filt_size=5, feature_maps=3, state_depth=16,
+        annotation_depth=24, output_depth=6, cell="gru",
+        mono_align=False, penalty_lambda=0.0, readout=(("linear", 6),),
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    b, l = 8, 16
+    h = jax.random.normal(jax.random.PRNGKey(1), (b, l, 24)) * 0.5
+    lens = jnp.asarray([16, 9, 12, 5, 16, 7, 14, 16])
+    want = greedy_lib.greedy_decode(params, cfg, h, lens, eos_id=2, backend="xla")
+    got = greedy_lib.greedy_decode(params, cfg, h, lens, eos_id=2, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(want.lengths))
