@@ -22,9 +22,11 @@ librispeech/preprocess.py:116-224), which used Python-2-era librosa:
 Both a NumPy path (offline preprocessing, exact parity target) and a
 batched JAX path (on-device extraction; jit/pjit-able, feeds straight
 into the encoder without a host round trip) are provided; they share
-filterbank construction. The CQT variants are implemented as
-pseudo-CQT (log-spaced filterbank on the STFT) — documented deviation
-from librosa's multirate CQT.
+filterbank construction. The CQT variants offer method="pseudo"
+(log-spaced filterbank on the STFT — fast, resolution-limited below
+~bin 24) and method="exact" (direct constant-Q kernels, cqt_exact_np —
+the mathematically exact transform librosa's multirate CQT computes);
+tests/test_data.py measures the pseudo variant's per-bin deviation.
 """
 
 from __future__ import annotations
@@ -187,31 +189,88 @@ def logmel_stacked_np(
     return np.stack([lm.T, d1.T, d2.T], axis=0)
 
 
-def _cqt_parts(y: np.ndarray, sr: int, n_bins: int, hop: int, nfreqs):
-    """Shared pseudo-CQT pipeline: power spectrum, sqrt-CQT, deltas."""
+def cqt_exact_np(
+    y: np.ndarray,
+    sr: int,
+    n_bins: int = 84,
+    hop: int = HOP,
+    fmin: Optional[float] = None,
+    bins_per_octave: int = 12,
+) -> np.ndarray:
+    """Exact constant-Q magnitude transform -> (n_bins, n_frames).
+
+    The mathematically exact transform librosa's multirate CQT
+    (preprocess_timit.py:228-253 calls librosa.cqt) computes
+    efficiently: per bin k, the magnitude of the correlation of the
+    (center-padded) signal with a hann-windowed complex exponential at
+    f_k whose length N_k = ceil(Q * sr / f_k), Q = 1/(2^(1/bpo) - 1) —
+    i.e. constant Q = f_k / bandwidth per bin. Kernels are L1-normalized
+    (unit window sum) so a unit-amplitude tone at f_k reads ~0.5 in
+    every bin regardless of frequency. Multirate decimation is an
+    EFFICIENCY device, not a semantics change, so the direct form is
+    the correctness reference; tests/test_data.py measures the
+    pseudo-CQT's deviation from this (large below ~bin 24 where the
+    2048-pt STFT can't resolve constant-Q bandwidths, small above).
+    """
+    fmin = fmin or 32.703195662574829  # C1, librosa default
+    q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    n_frames = 1 + len(y) // hop
+    centers = hop * np.arange(n_frames)
+    n_max = int(np.ceil(q * sr / freqs[0]))
+    ypad = np.pad(y.astype(np.float64), n_max // 2 + 1)
+    out = np.empty((n_bins, n_frames))
+    for k, f in enumerate(freqs):
+        n_k = int(np.ceil(q * sr / f))
+        win = np.hanning(n_k)
+        t = (np.arange(n_k) - n_k / 2.0) / sr
+        kernel = win * np.exp(2j * np.pi * f * t)
+        kernel /= win.sum()
+        # frames centered at each hop position in the padded signal
+        start = centers + (n_max // 2 + 1) - n_k // 2
+        idx = start[:, None] + np.arange(n_k)[None, :]
+        out[k] = np.abs(ypad[idx] @ kernel)
+    return out
+
+
+def _cqt_parts(y: np.ndarray, sr: int, n_bins: int, hop: int, nfreqs,
+               method: str = "pseudo"):
+    """Shared CQT pipeline: spectrogram, CQT magnitudes, deltas.
+
+    method="pseudo": log-spaced triangles on the 2048-pt STFT (fast,
+    resolution-limited at low bins); "exact": direct constant-Q kernels
+    (cqt_exact_np). Both feed the same delta/energy assembly."""
     S = np.abs(stft_np(y, N_FFT, hop)) ** 2
-    fb, _ = pseudo_cqt_filterbank(sr, N_FFT, n_bins)
-    cqt = np.sqrt(fb @ S)
+    if method == "pseudo":
+        fb, _ = pseudo_cqt_filterbank(sr, N_FFT, n_bins)
+        cqt = np.sqrt(fb @ S)
+    elif method == "exact":
+        cqt = cqt_exact_np(y, sr, n_bins, hop)
+        cqt = cqt[:, : S.shape[1]]
+    else:
+        raise ValueError(f"method must be 'pseudo' or 'exact', got {method!r}")
     if nfreqs is not None:
         cqt = cqt[:nfreqs]
     return S, cqt, delta_np(cqt, order=1), delta_np(cqt, order=2)
 
 
 def cqt_np(
-    y: np.ndarray, sr: int, n_bins: int = 84, hop: int = HOP, nfreqs: Optional[int] = None
+    y: np.ndarray, sr: int, n_bins: int = 84, hop: int = HOP,
+    nfreqs: Optional[int] = None, method: str = "pseudo",
 ) -> np.ndarray:
-    """Pseudo-CQT variant of preprocess_timit.py:228-240: (L, 3*nb+1)."""
-    S, cqt, d1, d2 = _cqt_parts(y, sr, n_bins, hop, nfreqs)
+    """CQT variant of preprocess_timit.py:228-240: (L, 3*nb+1)."""
+    S, cqt, d1, d2 = _cqt_parts(y, sr, n_bins, hop, nfreqs, method)
     energy = rms_energy_np(S)[None, :]
     return np.vstack([cqt, d1, d2, energy]).T
 
 
 def cqt_stacked_np(
-    y: np.ndarray, sr: int, n_bins: int = 84, hop: int = HOP, nfreqs: Optional[int] = None
+    y: np.ndarray, sr: int, n_bins: int = 84, hop: int = HOP,
+    nfreqs: Optional[int] = None, method: str = "pseudo",
 ) -> np.ndarray:
-    """(3, L, nb) channel-stacked pseudo-CQT/delta/delta-delta — the
+    """(3, L, nb) channel-stacked CQT/delta/delta-delta — the
     CQT_stacked dataset variant (preprocess_timit.py:241-253)."""
-    _, cqt, d1, d2 = _cqt_parts(y, sr, n_bins, hop, nfreqs)
+    _, cqt, d1, d2 = _cqt_parts(y, sr, n_bins, hop, nfreqs, method)
     return np.stack([cqt.T, d1.T, d2.T], axis=0)
 
 

@@ -240,3 +240,72 @@ def test_prefetcher_preserves_batches_and_order():
     next(it)
     with pytest.raises(RuntimeError, match="feeder exploded"):
         next(it)
+
+
+def test_cqt_exact_tone_response():
+    """cqt_exact_np is a true constant-Q transform: a pure tone at bin
+    k's center frequency peaks at bin k with ~0.5 magnitude (unit-L1
+    hann kernel), at every octave."""
+    from seq2seq_attention_asr_tpu.data import features
+
+    sr = 16000
+    fmin = 32.703195662574829
+    t = np.arange(int(2.0 * sr)) / sr
+    for k in (12, 30, 48, 66):
+        f = fmin * 2.0 ** (k / 12.0)
+        y = np.sin(2 * np.pi * f * t)
+        C = features.cqt_exact_np(y, sr, n_bins=84)
+        mid = C[:, C.shape[1] // 2]
+        assert int(np.argmax(mid)) == k, (k, int(np.argmax(mid)))
+        assert 0.4 < mid[k] < 0.6, mid[k]
+
+
+def test_pseudo_cqt_error_vs_exact_measured():
+    """Quantified pseudo-CQT deviation (VERDICT r1 item #9), measured
+    against the exact constant-Q transform on multi-tone audio:
+
+      * after per-bin scale calibration (the two filterbanks use
+        different normalizations) the relative Frobenius error is
+        ~4-8% across the range — asserted < 12% so the bound stays
+        documented and stable;
+      * the REAL deviation is low-bin frequency resolution: at 55 Hz
+        (bin 9) the constant-Q bandwidth (3.3 Hz) is below the 2048-pt
+        STFT's 7.8 Hz bin width, so the pseudo variant smears a pure
+        tone across neighbors (+/-2-bin leakage ~50%) where the exact
+        transform localizes it (~4%)."""
+    from seq2seq_attention_asr_tpu.data import features
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+    t = np.arange(int(3.0 * sr)) / sr
+    y = sum(
+        a * np.sin(2 * np.pi * f * t + p)
+        for a, f, p in zip(
+            [1.0, 0.7, 0.5, 0.4, 0.3],
+            [110.0, 440.0, 1320.0, 2640.0, 5280.0],
+            rng.uniform(0, 6.28, 5),
+        )
+    ) + 0.01 * rng.randn(len(t))
+    exact = features.cqt_exact_np(y, sr, n_bins=84)
+    S = np.abs(features.stft_np(y, features.N_FFT, features.HOP)) ** 2
+    fb, _ = features.pseudo_cqt_filterbank(sr, features.N_FFT, 84)
+    pseudo = np.sqrt(fb @ S)[:, : exact.shape[1]]
+
+    for lo, hi, bound in ((0, 24, 0.12), (24, 84, 0.12)):
+        e, p = exact[lo:hi], pseudo[lo:hi]
+        scale = (e * p).sum(1) / np.maximum((p * p).sum(1), 1e-12)
+        rel = np.linalg.norm(e - scale[:, None] * p) / np.linalg.norm(e)
+        assert rel < bound, (lo, hi, rel)
+
+    # low-bin resolution: 55 Hz pure tone (bin 9)
+    fmin = 32.703195662574829
+    y9 = np.sin(2 * np.pi * (fmin * 2 ** (9 / 12.0)) * t)
+    ex9 = features.cqt_exact_np(y9, sr, n_bins=84)
+    S9 = np.abs(features.stft_np(y9, features.N_FFT, features.HOP)) ** 2
+    ps9 = np.sqrt(fb @ S9)[:, : ex9.shape[1]]
+    mid_e = ex9[:, ex9.shape[1] // 2]
+    mid_p = ps9[:, ps9.shape[1] // 2]
+    assert int(np.argmax(mid_e)) == 9 and int(np.argmax(mid_p)) == 9
+    leak = lambda m: max(m[7], m[11]) / m[9]
+    assert leak(mid_e) < 0.1  # exact localizes
+    assert leak(mid_p) > 0.3  # pseudo smears — the documented deviation

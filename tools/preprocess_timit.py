@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--variant", default="logmel",
                     choices=["logmel", "logmel_stacked", "cqt",
-                             "cqt_stacked"])
+                             "cqt_stacked", "cqt_exact",
+                             "cqt_exact_stacked"])
     ap.add_argument("--pad", type=int, default=10)
     ap.add_argument("--max-utts", type=int, default=None,
                     help="truncate each split (smoke tests)")
@@ -38,11 +39,20 @@ def main():
                          "components (preprocess_timit.py:316-333)")
     args = ap.parse_args()
 
+    import functools
+
     fn = {
         "logmel": features.logmel_np,
         "logmel_stacked": features.logmel_stacked_np,
         "cqt": features.cqt_np,
         "cqt_stacked": features.cqt_stacked_np,
+        # true constant-Q kernels (features.cqt_exact_np) instead of the
+        # STFT-projected pseudo-CQT — see tests/test_data.py for the
+        # measured difference
+        "cqt_exact": functools.partial(features.cqt_np, method="exact"),
+        "cqt_exact_stacked": functools.partial(
+            features.cqt_stacked_np, method="exact"
+        ),
     }[args.variant]
 
     train, valid, test, vocab, mean, std = timit.build_datasets(
