@@ -1,15 +1,24 @@
-"""Benchmark: Chorowski-baseline training throughput on one chip.
+"""Benchmark: Chorowski-baseline training + decode throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line whose primary metric is training throughput:
   {"metric": "train_audio_s_per_s_per_chip", "value": N,
-   "unit": "audio-s/s/chip", "vs_baseline": N}
+   "unit": "audio-s/s/chip", "vs_baseline": N, ...}
+extra keys (VERDICT r1 items #4/#10):
+  mfu                      — model FLOPs utilization of the train step
+                             (analytic matmul-FLOPs model / chip peak)
+  realistic_mix_audio_s_per_s — bucketed variable-length batches
+                             (padding waste included, real audio-s)
+  decode_audio_s_per_s     — beam-search (K=5) decode throughput via
+                             the fused single-step attention kernel
+  decode_rtf               — decode real-time factor (audio-s per
+                             wall-s; >1 means faster than real time)
 
 Metric: seconds of audio processed per wall-clock second per chip while
 running full training steps (forward + BPTT + adadelta update) on the
 reference-recipe model (123-dim log-mel input, 3x BiGRU-256 encoder,
-location-aware attention decoder, 62-way output — the
-exp_logmel7_chorowski recipe shape). Audio seconds follow the
-front-end's 512-sample hop at 16 kHz (preprocess_timit.py:196: hop=512).
+attention decoder, 62-way output — the exp_logmel7_chorowski recipe
+shape). Audio seconds follow the front-end's 512-sample hop at 16 kHz
+(preprocess_timit.py:196: hop=512).
 
 vs_baseline is against BASELINE.json's throughput target definition:
 the reference publishes no numbers (BASELINE.md), so the baseline unit
@@ -19,16 +28,58 @@ TPU win.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+HOP, SR = 512, 16000.0
+
+# bf16 peak FLOP/s per chip by generation (public spec sheets).
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12,
+}
+
+
+def model_flops_per_sample(l: int, t: int, cfg) -> float:
+    """Analytic matmul FLOPs of ONE forward pass on one utterance
+    (2*M*N*K per matmul; elementwise/transcendentals excluded — this is
+    the standard MFU numerator convention)."""
+    h = cfg["hidden"]
+    a = 2 * cfg["out_frame"]  # annotation depth
+    s = cfg["score"]
+    st = cfg["state"]
+    v = cfg["vocab"]
+    mlp = cfg["mlp"]
+    # encoder: 3 BiGRU layers, gates (h+x) -> 3h per frame per direction
+    gru = lambda x_dim: 2 * (h + x_dim) * 3 * h
+    enc = l * 2 * (gru(cfg["input"]) + gru(2 * h) + gru(2 * h))
+    # Vh hoist: L x A @ A x S
+    vh = 2 * l * a * s
+    # decoder per output step
+    dec_step = (
+        2 * st * s          # Ws
+        + 2 * l * s         # energies (w_e reduction)
+        + 2 * l * a         # context
+        + 2 * a * st        # c_in
+        + 2 * v * st        # y_in
+        + 2 * (2 * st) * st  # dec_in
+        + 2 * (st + st) * 2 * st  # GRU w_zr
+        + 2 * (st + st) * st      # GRU w_h
+        + 2 * (st + a) * mlp * 7  # maxout
+        + 2 * mlp * v             # output linear
+    )
+    return float(enc + vh + t * dec_step)
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
+    from seq2seq_attention_asr_tpu.data import batching, timit as timit_data
     from seq2seq_attention_asr_tpu.models import registry
     from seq2seq_attention_asr_tpu.train import optim as optim_lib
     from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
@@ -39,15 +90,17 @@ def main():
     # per-step NLL trajectory matches float32 to 4 decimals on this
     # recipe (see BASELINE.md), so this is the production operating
     # point, not a benchmark special.
+    dims = dict(input=123, hidden=256, out_frame=256, score=512,
+                state=256, mlp=64, vocab=62)
     model = registry.build(
         "chorowski",
-        input_frame_size=123,
-        hidden_frame_size=256,
-        output_frame_size=256,
-        score_depth=512,
-        state_depth=256,
-        mlp_depth=64,
-        output_depth=62,
+        input_frame_size=dims["input"],
+        hidden_frame_size=dims["hidden"],
+        output_frame_size=dims["out_frame"],
+        score_depth=dims["score"],
+        state_depth=dims["state"],
+        mlp_depth=dims["mlp"],
+        output_depth=dims["vocab"],
         feature_maps=0,
         filt_size=10,
         mono_align=True,
@@ -93,8 +146,61 @@ def main():
     float(m["loss"])
     dt = time.perf_counter() - t0
 
-    audio_s_per_batch = b * l * 512.0 / 16000.0
+    audio_s_per_batch = b * l * HOP / SR
     value = audio_s_per_batch * n_steps / dt
+
+    # --- MFU: analytic matmul FLOPs x 3 (fwd + ~2x bwd) / chip peak ---
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    peak = PEAK_BF16.get(gen, PEAK_BF16["v5e"])
+    train_flops = 3.0 * b * model_flops_per_sample(l, t, dims)
+    mfu = train_flops * n_steps / dt / peak
+
+    # --- realistic mix: bucketed variable-length batches -------------
+    # TIMIT-like length distribution; PER-padded-bucket shapes compile
+    # once each (warmup pass), then a timed epoch counts REAL audio-s.
+    n_utts = 512
+    lens = np.clip(rng.normal(110, 25, n_utts).astype(int), 40, 144)
+    tlens = np.maximum(lens // 3, 4)
+    ds = timit_data.Dataset(
+        uids=[f"b{i}" for i in range(n_utts)],
+        x=[rng.randn(li, 123).astype(np.float32) for li in lens],
+        y=[rng.randint(0, 62, ti).astype(np.int32) for ti in tlens],
+        y39=None, start=[None] * n_utts, finish=[None] * n_utts,
+    )
+    batcher = batching.BucketedBatcher.from_dataset(ds, b, n_buckets=4)
+    arrs = lambda bt: (
+        jnp.asarray(bt.x), jnp.asarray(bt.x_len), jnp.asarray(bt.y),
+        jnp.asarray(bt.dec_mask),
+    )
+    for bt in batcher.batches(ds):  # compile warmup per bucket shape
+        state, m = step_jit(state, arrs(bt))
+    float(m["loss"])
+    real_audio = 0.0
+    t0 = time.perf_counter()
+    for bt in batcher.batches(ds):
+        real_audio += float(bt.x_len.sum()) * HOP / SR
+        state, m = step_jit(state, arrs(bt))
+    float(m["loss"])
+    mix_value = real_audio / (time.perf_counter() - t0)
+
+    # --- beam-decode throughput (fused single-step kernel) -----------
+    decode_fn = jax.jit(
+        trainer_lib.make_decode_step(
+            model.encode, model.attention_cfg, beam_k=5
+        ),
+        static_argnames=("max_steps_cap",),
+    )
+    eos = jnp.asarray(np.full(b, 61, np.int32))
+    res = decode_fn(params, x, x_len, eos, max_steps_cap=l)
+    int(np.asarray(res.lengths)[0])
+    n_dec = 10
+    t0 = time.perf_counter()
+    for _ in range(n_dec):
+        res = decode_fn(params, x, x_len, eos, max_steps_cap=l)
+    int(np.asarray(res.lengths)[0])
+    ddt = time.perf_counter() - t0
+    decode_value = audio_s_per_batch * n_dec / ddt
+
     print(
         json.dumps(
             {
@@ -102,6 +208,11 @@ def main():
                 "value": round(value, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / 1.0, 2),
+                "mfu": round(mfu, 4),
+                "tpu_gen": gen,
+                "realistic_mix_audio_s_per_s": round(mix_value, 2),
+                "decode_audio_s_per_s": round(decode_value, 2),
+                "decode_rtf": round(decode_value, 2),
             }
         )
     )
