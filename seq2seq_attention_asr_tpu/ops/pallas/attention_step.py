@@ -87,13 +87,24 @@ def choose_block(batch: int, k_hyp: int, l: int, s_dim: int, a_dim: int,
     """Largest batch block fitting VMEM: the encoder blocks
     bb*L*(S+A) plus one hypothesis's float32 intermediates
     (z/a: bb*L*S) at a time; K only scales the small (bb, St) tensors.
+
+    Mosaic requires the last two dims of every block to be multiples of
+    the (sublane, 128) tile OR equal to the array dims — the 2-D mask
+    block is (bb, L), so bb must be a sublane multiple unless bb ==
+    batch (a single full block, always layout-legal). Odd batch sizes
+    (ragged final eval batches) therefore fall through to bb = batch.
     """
     itemsize = 2 if dtype == jnp.bfloat16 else 4
-    blocks = (64, 32, 16) if dtype == jnp.bfloat16 else (64, 32, 16, 8, 4, 2, 1)
-    for bb in blocks:
-        need = bb * l * (s_dim + a_dim) * itemsize + 3 * bb * l * s_dim * 4
-        if batch % bb == 0 and need <= _VMEM_BUDGET:
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    fits = lambda bb: (
+        bb * l * (s_dim + a_dim) * itemsize + 3 * bb * l * s_dim * 4
+        <= _VMEM_BUDGET
+    )
+    for bb in (64, 32, 16, 8):
+        if bb % sublane == 0 and batch % bb == 0 and fits(bb):
             return bb
+    if fits(batch):
+        return batch  # single block: block dims == array dims
     return 0
 
 

@@ -450,3 +450,21 @@ def test_greedy_pallas_backend_matches_xla():
     got = greedy_lib.greedy_decode(params, cfg, h, lens, eos_id=2, backend="pallas")
     np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
     np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(want.lengths))
+
+
+def test_fused_step_choose_block_layout_legal():
+    """Mosaic wants block sublane dims %8 (%16 bf16) or == the array
+    dim: ragged eval batches (e.g. B=14) must fall through to a single
+    full block, never an illegal small divisor (TPU-only lowering
+    error a CPU interpret run cannot catch)."""
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.ops.pallas import attention_step as fused
+
+    assert fused.choose_block(32, 5, 144, 512, 512) == 32
+    assert fused.choose_block(14, 5, 64, 512, 512) == 14  # full block
+    assert fused.choose_block(4, 3, 16, 16, 24) == 4
+    assert fused.choose_block(24, 5, 144, 512, 512) == 8
+    assert fused.choose_block(24, 5, 144, 512, 512, jnp.bfloat16) == 24
+    # huge single batch that cannot fit any legal block -> unsupported
+    assert fused.choose_block(1000, 5, 4096, 512, 512) == 0
