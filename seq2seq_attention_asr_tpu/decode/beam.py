@@ -82,6 +82,11 @@ def beam_search(
     cap = int(max_steps_cap if max_steps_cap is not None else l_pad)
     m = cap + 1  # force-finish appends one final token
     dtype = h.dtype
+    # Score bookkeeping stays float32 even under bf16 encoder states:
+    # apply_readout's log-softmax is f32, and ranking cumulative
+    # logprobs in bf16 would both lose ties and break the while_loop
+    # carry dtype (f32 expansion sums assigned into a bf16 carry).
+    sdtype = jnp.float32
     eos_id = jnp.asarray(eos_id)
     if eos_id.ndim == 0:
         eos_id = jnp.broadcast_to(eos_id, (b,))
@@ -158,12 +163,12 @@ def beam_search(
             tokens=jnp.zeros((b, k, m), jnp.int32),
             last=jnp.zeros((b, k), jnp.int32),
             lens=jnp.zeros((b, k), jnp.int32),
-            scores=jnp.zeros((b, k), dtype),
+            scores=jnp.zeros((b, k), sdtype),
             live_count=jnp.ones((b,), jnp.int32),  # one empty hypothesis
             state=state0,
             fin_tokens=jnp.zeros((b, k + 1, m), jnp.int32),
             fin_lens=jnp.zeros((b, k + 1), jnp.int32),
-            fin_scores=jnp.full((b, k + 1), NEG_INF, dtype),
+            fin_scores=jnp.full((b, k + 1), NEG_INF, sdtype),
             fin_count=jnp.zeros((b,), jnp.int32),
         )
 

@@ -96,7 +96,7 @@ def greedy_decode(
         state0,
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), bool),
-        jnp.zeros((b,), dtype),
+        jnp.zeros((b,), jnp.float32),  # logprob total: f32 like the readout
     )
     (_, _, _, total), (toks, emits) = jax.lax.scan(
         step, init, jnp.arange(cap, dtype=jnp.int32)

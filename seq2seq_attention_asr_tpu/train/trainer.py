@@ -239,6 +239,7 @@ def make_decode_step(
     beam_k: int,
     len_factor: float = 1.0,
     backend: str = "auto",
+    compute_dtype: str = "float32",
 ):
     """Beam-search decode over a batch: encode then search.
 
@@ -246,9 +247,18 @@ def make_decode_step(
     (models downsample time, so lengths transform). eos per sample is
     the final target token (timit.lua:398). backend feeds the fused
     single-step attention kernel selection (decode/beam.py).
+    compute_dtype follows the model's mixed-precision operating point:
+    under "bfloat16" the encoder/decoder matmuls and the fused step
+    kernel's vh/h blocks run bf16 (the beam's scores/softmax stay f32
+    inside the kernels' f32 math).
     """
+    dt = jnp.dtype(compute_dtype)
 
     def decode_fn(params, x, x_len, eos_id, max_steps_cap: int):
+        if dt != jnp.float32:
+            cast = lambda a: a.astype(dt) if a.dtype == jnp.float32 else a
+            params = jax.tree.map(cast, params)
+            x = cast(x)
         h, h_len = encode_fn(params, x, x_len)
         max_steps = jnp.minimum(
             (len_factor * h_len).astype(jnp.int32), max_steps_cap
@@ -342,6 +352,7 @@ class Trainer:
             self.tcfg.beam_k,
             self.tcfg.eval_len_factor,
             backend=getattr(self.model.cfg, "attn_backend", "auto"),
+            compute_dtype=getattr(self.model.cfg, "compute_dtype", "float32"),
         )
         if jit:
             self.step_fn = jax.jit(step_fn, donate_argnums=0)

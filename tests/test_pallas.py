@@ -468,3 +468,36 @@ def test_fused_step_choose_block_layout_legal():
     assert fused.choose_block(24, 5, 144, 512, 512, jnp.bfloat16) == 24
     # huge single batch that cannot fit any legal block -> unsupported
     assert fused.choose_block(1000, 5, 4096, 512, 512) == 0
+
+
+def test_beam_search_bf16_pallas_matches_xla():
+    """bf16 encoder states through the fused step kernel: identical
+    hypotheses to the bf16 XLA path, f32 score bookkeeping (the decode
+    operating point for compute_dtype='bfloat16' models)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.decode import beam as beam_lib
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=16, filt_size=5, feature_maps=0, state_depth=16,
+        annotation_depth=24, output_depth=6, cell="gru",
+        mono_align=False, penalty_lambda=0.0, readout=(("linear", 6),),
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    b, l = 16, 16  # bf16 blocks want 16 sublanes
+    h = (jax.random.normal(jax.random.PRNGKey(1), (b, l, 24)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    lens = jnp.asarray([16, 9, 12, 5] * 4)
+    kw = dict(eos_id=2, k=3, max_steps=lens, max_steps_cap=l)
+    want = beam_lib.beam_search(p16, cfg, h, lens, backend="xla", **kw)
+    got = beam_lib.beam_search(p16, cfg, h, lens, backend="pallas", **kw)
+    assert want.scores.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(want.lengths))
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=2e-3, atol=2e-3
+    )
