@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--train-utts", type=int, default=200)
     ap.add_argument("--valid-utts", type=int, default=40)
     ap.add_argument("--n-phones", type=int, default=40)
+    ap.add_argument("--noise", type=float, default=0.35)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--decode-every", type=int, default=2)
     ap.add_argument("--seed", type=int, default=1)
@@ -59,7 +60,7 @@ def main():
     train, valid, v = synthetic.train_valid(
         args.train_utts, args.valid_utts, n_phones=args.n_phones,
         feat_dim=123, min_len=6, max_len=16, frames_per_phone=(4, 9),
-        noise=0.35, seed=args.seed,
+        noise=args.noise, seed=args.seed,
     )
     dims = (
         dict(hidden_frame_size=64, output_frame_size=64, score_depth=128,
@@ -79,8 +80,11 @@ def main():
         num_epochs=args.epochs, batch_size=args.batch_size,
         normalize_nll=True, beam_k=5, seed=args.seed,
     )
+    # column-norm projection to maxval 1.0 — the reference's
+    # columnNormConstraint default (TrainUtils.lua:52-53), the recipe's
+    # only regularizer and what keeps the big model from memorizing
     ocfg = optim_lib.OptimConfig(
-        rho=0.95, eps=1e-8, colnorm=True, colnorm_maxval=1e20, maxnorm=1e20
+        rho=0.95, eps=1e-8, colnorm=True, colnorm_maxval=1.0, maxnorm=1e20
     )
     tr = trainer_lib.Trainer(model, ocfg, tcfg)
     tr.init(model.init(jax.random.PRNGKey(args.seed)))
