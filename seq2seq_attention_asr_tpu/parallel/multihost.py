@@ -23,8 +23,16 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """jax.distributed.initialize with pass-through args; no-op when
-    single-process (num_processes == 1 or already initialized)."""
-    if jax.process_count() > 1:
+    single-process (num_processes == 1 or already initialized).
+
+    The already-initialized probe must NOT touch the backend —
+    jax.process_count() would initialise XLA and make
+    jax.distributed.initialize impossible ("must be called before any
+    JAX calls") — so it inspects the distributed global state instead.
+    """
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized by the launcher
     if num_processes in (None, 1) and coordinator_address is None:
         return

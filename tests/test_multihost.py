@@ -2,6 +2,8 @@
 previously zero coverage) plus checkpoint save/restore under a live
 mesh (Weak #8)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -99,3 +101,22 @@ def test_checkpoint_roundtrip_under_live_mesh(tmp_path):
     got = checkpoint.load(path, like=state)
     np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(sharded))
     assert float(got["step"]) == 3.5
+
+
+def test_two_process_demo():
+    """REAL 2-process SPMD: tools/multihost_demo.py spawns two worker
+    processes (gloo CPU collectives, 2 virtual devices each) that
+    jax.distributed-initialize, host-shard the corpus, assemble global
+    dp-sharded batches, and run the sharded train step over the global
+    4-device mesh — the exact pod workflow, minus the pod."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "multihost_demo.py"),
+         "--launch", "2", "--coordinator", "127.0.0.1:29517"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert out.stdout.count("MULTIHOST_OK") == 2, out.stdout[-2000:]
