@@ -1,0 +1,157 @@
+"""End-to-end on-device transcription — the serving surface.
+
+The reference has no inference API at all (decoding only happens inside
+the training script's Evaluate loop, timit/timit.lua:368-417). For
+production serving the whole pipeline must live on device behind one
+jit: raw PCM -> fused log-mel front end (ops/pallas/logmel.py) ->
+encoder -> batched beam search (fused single-step attention kernel) ->
+token ids; only the final detokenization is host-side.
+
+Static-shape discipline: PCM lengths are bucketed so every bucket
+compiles once (frame counts round to multiples of 16 — the fused
+kernels' tile-friendly encoder axis).
+
+Usage:
+    t = Transcriber(model, params, mean=mean, std=std, eos_id=61,
+                    id_to_text=lambda ids: " ".join(vocab.phones[i] for i in ids))
+    texts = t.transcribe(list_of_pcm_float_arrays)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from .data import features
+from .decode import beam as beam_lib
+
+HOP = features.HOP
+SR = 16000
+
+
+@dataclasses.dataclass
+class Transcription:
+    ids: np.ndarray  # token ids, eos stripped
+    score: float  # total beam logprob
+    text: Optional[str] = None
+
+
+class Transcriber:
+    """Batched PCM -> text. One jit-compiled program per length bucket.
+
+    mean/std: corpus normalization stats from preprocessing
+    (tools/preprocess_timit.py writes mean_std.npz); pad_frames
+    replicates the offline pipeline's zero-frame padding both ends
+    (preprocess_timit.py:261-286, pad=10 for TIMIT, 1 for LibriSpeech).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        eos_id: int,
+        mean=None,
+        std=None,
+        pad_frames: int = 10,
+        beam_k: int = 5,
+        len_factor: float = 1.0,
+        frontend: str = "pallas",  # "pallas" | "xla"
+        id_to_text: Optional[Callable[[Sequence[int]], str]] = None,
+        frame_bucket: int = 16,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax, self._jnp = jax, jnp
+        self.model = model
+        self.params = params
+        self.eos_id = int(eos_id)
+        self.mean = None if mean is None else np.asarray(mean, np.float32)
+        self.std = None if std is None else np.asarray(std, np.float32)
+        self.pad_frames = int(pad_frames)
+        self.beam_k = int(beam_k)
+        self.len_factor = float(len_factor)
+        self.frontend = frontend
+        self.id_to_text = id_to_text
+        self.frame_bucket = int(frame_bucket)
+        self._fns = {}  # padded frame count -> jitted pipeline
+
+    # -- static-shape pipeline ------------------------------------------
+
+    def _pipeline(self, l_pad: int):
+        fn = self._fns.get(l_pad)
+        if fn is not None:
+            return fn
+        jax, jnp = self._jax, self._jnp
+        model, pad = self.model, self.pad_frames
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        frontend = "xla" if (self.frontend == "pallas" and interpret) else self.frontend
+        mean = None if self.mean is None else jnp.asarray(self.mean)
+        std = None if self.std is None else jnp.asarray(self.std)
+        cap = int(np.ceil(self.len_factor * (l_pad + 2 * pad)))
+
+        def run(params, pcm, n_frames, eos):
+            feats = features.logmel_device(
+                pcm, SR, mean=mean, std=std, backend=frontend
+            )
+            if pad:
+                z = jnp.zeros((feats.shape[0], pad, feats.shape[2]), feats.dtype)
+                feats = jnp.concatenate([z, feats, z], axis=1)
+            feat_len = n_frames + 2 * pad
+            h, h_len = model.encode(params, feats, feat_len)
+            max_steps = jnp.minimum(
+                (self.len_factor * h_len).astype(jnp.int32), cap
+            )
+            return beam_lib.beam_search(
+                params["decoder"], model.attention_cfg, h, h_len, eos,
+                k=self.beam_k, max_steps=max_steps, max_steps_cap=cap,
+            )
+
+        fn = jax.jit(run)
+        self._fns[l_pad] = fn
+        return fn
+
+    # -- public API -------------------------------------------------------
+
+    def transcribe(self, pcms: Sequence[np.ndarray]) -> List[Transcription]:
+        """pcms: float arrays in [-1, 1) at 16 kHz (any lengths).
+
+        Groups utterances into frame-count buckets, runs each bucket as
+        one batch, returns results in input order.
+        """
+        jnp = self._jnp
+        n = len(pcms)
+        frames = [features.frames_for_samples(len(p)) for p in pcms]
+        buckets = {}
+        for i, f in enumerate(frames):
+            l_pad = -(-f // self.frame_bucket) * self.frame_bucket
+            buckets.setdefault(l_pad, []).append(i)
+
+        out: List[Optional[Transcription]] = [None] * n
+        for l_pad, idxs in sorted(buckets.items()):
+            n_samp = (l_pad - 1) * HOP + 1
+            x = np.zeros((len(idxs), n_samp), np.float32)
+            nf = np.zeros((len(idxs),), np.int32)
+            for j, i in enumerate(idxs):
+                p = np.asarray(pcms[i], np.float32)
+                x[j, : len(p)] = p[:n_samp]
+                nf[j] = frames[i]
+            eos = np.full((len(idxs),), self.eos_id, np.int32)
+            res = self._pipeline(l_pad)(
+                self.params, jnp.asarray(x), jnp.asarray(nf), jnp.asarray(eos)
+            )
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.lengths)
+            scores = np.asarray(res.scores)
+            for j, i in enumerate(idxs):
+                ids = toks[j, : int(lens[j])]
+                if len(ids) and ids[-1] == self.eos_id:
+                    ids = ids[:-1]
+                t = Transcription(ids=ids, score=float(scores[j]))
+                if self.id_to_text is not None:
+                    t.text = self.id_to_text(ids)
+                out[i] = t
+        return out  # type: ignore[return-value]

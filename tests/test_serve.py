@@ -1,0 +1,86 @@
+"""Serving surface: PCM -> log-mel -> encoder -> beam -> text in one
+jit per length bucket (serve.Transcriber)."""
+
+import numpy as np
+import jax
+import pytest
+
+from seq2seq_attention_asr_tpu import serve
+from seq2seq_attention_asr_tpu.data import features
+from seq2seq_attention_asr_tpu.models import registry
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = registry.build(
+        "chorowski", input_frame_size=123, hidden_frame_size=8,
+        output_frame_size=8, score_depth=8, state_depth=8, mlp_depth=8,
+        output_depth=7, feature_maps=0, filt_size=5,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _pcm(n, seed):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000.0
+    return (0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.randn(n)).astype(
+        np.float32
+    )
+
+
+def test_transcriber_end_to_end(tiny):
+    model, params = tiny
+    phones = ["a", "b", "c", "d", "e", "f", "<eos>"]
+    t = serve.Transcriber(
+        model, params, eos_id=6, pad_frames=2, beam_k=2,
+        id_to_text=lambda ids: " ".join(phones[i] for i in ids),
+        frontend="xla",
+    )
+    pcms = [_pcm(4000, 0), _pcm(9000, 1), _pcm(4100, 2)]
+    out = t.transcribe(pcms)
+    assert len(out) == 3
+    for r in out:
+        assert r.ids.ndim == 1 and np.isfinite(r.score)
+        assert 6 not in r.ids  # eos stripped
+        assert r.text == " ".join(phones[i] for i in r.ids)
+    # same-length inputs share a bucket/compile; results are in input order
+    assert len(t._fns) == 2  # two distinct frame buckets
+
+    # determinism: same input -> same output
+    again = t.transcribe([pcms[1]])
+    np.testing.assert_array_equal(again[0].ids, out[1].ids)
+
+
+def test_transcriber_matches_manual_pipeline(tiny):
+    """The one-jit pipeline must equal running the stages by hand:
+    logmel -> +-pad -> encode -> beam_search."""
+    import jax.numpy as jnp
+
+    from seq2seq_attention_asr_tpu.decode import beam as beam_lib
+
+    model, params = tiny
+    t = serve.Transcriber(model, params, eos_id=6, pad_frames=2, beam_k=2,
+                          frontend="xla")
+    pcm = _pcm(5000, 3)
+    got = t.transcribe([pcm])[0]
+
+    l_true = features.frames_for_samples(len(pcm))
+    l_pad = -(-l_true // 16) * 16
+    n_samp = (l_pad - 1) * features.HOP + 1
+    x = np.zeros((1, n_samp), np.float32)
+    x[0, : len(pcm)] = pcm
+    feats = features.logmel_device(jnp.asarray(x), 16000, backend="xla")
+    z = jnp.zeros((1, 2, feats.shape[2]), feats.dtype)
+    feats = jnp.concatenate([z, feats, z], axis=1)
+    h, h_len = model.encode(params, feats, jnp.asarray([l_true + 4]))
+    res = beam_lib.beam_search(
+        params["decoder"], model.attention_cfg, h, h_len,
+        jnp.asarray([6]), k=2,
+        max_steps=h_len.astype(jnp.int32),
+        max_steps_cap=l_pad + 4,
+    )
+    want = np.asarray(res.tokens[0])[: int(res.lengths[0])]
+    if len(want) and want[-1] == 6:
+        want = want[:-1]
+    np.testing.assert_array_equal(got.ids, want)
