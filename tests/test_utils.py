@@ -40,3 +40,64 @@ def test_step_timer():
     rep = t.report()
     assert rep["steps_per_s"] > 0
     assert rep["audio_s_per_s"] > 0
+
+
+def test_extract_alpha_tool(tmp_path):
+    """tools/extract_alpha.py (ExtractAlpha.lua parity): checkpoint +
+    dataset -> per-utterance alpha matrices with phone times in HDF5."""
+    import os
+    import subprocess
+    import sys
+
+    import jax
+    import numpy as np
+    import pytest
+
+    h5py = pytest.importorskip("h5py")
+
+    from seq2seq_attention_asr_tpu.data import batching, timit
+    from seq2seq_attention_asr_tpu.train import experiment as exp_lib
+    from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
+
+    rng = np.random.RandomState(0)
+    n = 4
+    ds = timit.Dataset(
+        x=[rng.randn(10 + i, 8).astype(np.float32) for i in range(n)],
+        y=[rng.randint(0, 6, (3,)).astype(np.int32) for _ in range(n)],
+        y39=None, uids=[f"u{i}" for i in range(n)],
+        start=[np.arange(3, dtype=np.int64)] * n,
+        finish=[np.arange(1, 4, dtype=np.int64)] * n,
+    )
+    exp = exp_lib.scriptchecker(save_dir=str(tmp_path / "run"))
+    exp.model_kwargs.update(
+        input_frame_size=8, hidden_frame_size=8, output_frame_size=8,
+        score_depth=8, state_depth=8, mlp_depth=8, output_depth=7,
+    )
+    exp.archive(None)  # writes experiment.json the tool reads back
+    tr = trainer_lib.Trainer(
+        exp.build_model(), exp.optim, exp.train, save_dir=exp.save_dir
+    )
+    tr.init(exp.init_params(jax.random.PRNGKey(0)))
+    batcher = batching.BucketedBatcher.from_dataset(ds, 4, n_buckets=1)
+    tr.train_epoch(ds, batcher, 1)
+    tr.save_checkpoint("latest")
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    timit.save_hdf5(ds, os.path.join(data_dir, "valid.h5"))
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_h5 = str(tmp_path / "alpha_sample.h5")
+    res = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "extract_alpha.py"),
+         "--ckpt", os.path.join(exp.save_dir, "ckpt_latest"),
+         "--data", data_dir, "--out", out_h5, "--n", "2", "--cpu"],
+        capture_output=True, text=True, timeout=400,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 0, res.stdout[-1500:] + res.stderr[-1500:]
+    with h5py.File(out_h5) as f:
+        assert set(f.keys()) == {"u0", "u1"}
+        a = np.asarray(f["u0"]["alpha"])
+        assert a.shape[0] == 3  # T steps
+        np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-5)
