@@ -22,6 +22,7 @@ EXPERIMENTS = {
     "timit_chorowski_dropout": ("timit_chorowski_dropout", "timit"),
     "timit_conv_bilstm": ("timit_conv_bilstm", "timit"),
     "librispeech_chorowski": ("librispeech_chorowski", "librispeech"),
+    "librispeech_chorowski_words": ("librispeech_chorowski_words", "librispeech"),
     "librispeech_vgg": ("librispeech_vgg", "librispeech"),
     "scriptchecker": ("scriptchecker", "scriptchecker"),
 }
