@@ -295,14 +295,40 @@ def decode_flac_py(data: bytes) -> Tuple[np.ndarray, int]:
     return pcm, si["sample_rate"]
 
 
-def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
-    """Decode via the native C++ decoder when available, else Python."""
-    try:
-        from ..native import flacdec
+_native_unavailable = False
 
-        return flacdec.decode(data)
-    except Exception:
-        return decode_flac_py(data)
+
+def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode via the native C++ decoder when available, else Python.
+
+    Fallback policy: only a missing/broken native build (import or
+    toolchain failure) silently selects the ~100x slower pure-Python
+    path — with a one-time warning, so a build problem is visible
+    instead of an invisible preprocessing slowdown. A STRUCTURAL decode
+    error from the native decoder (ValueError) is re-arbitrated by the
+    Python reference decoder: if the stream is genuinely malformed the
+    Python path raises FlacError loudly; if it decodes, the native
+    decoder disagreed and the Python result wins.
+    """
+    global _native_unavailable
+    if not _native_unavailable:
+        try:
+            from ..native import flacdec
+
+            return flacdec.decode(data)
+        except ValueError:
+            pass  # native says malformed: the Python path arbitrates
+        except Exception as e:  # import/build/toolchain failure
+            import warnings
+
+            _native_unavailable = True
+            warnings.warn(
+                f"native FLAC decoder unavailable ({e!r}); falling back "
+                "to the pure-Python decoder (~100x slower). Run "
+                "seq2seq_attention_asr_tpu/native/build.py to build it.",
+                RuntimeWarning,
+            )
+    return decode_flac_py(data)
 
 
 def read_flac(path: str) -> Tuple[np.ndarray, int]:

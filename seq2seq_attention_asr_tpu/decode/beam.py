@@ -1,14 +1,31 @@
-"""On-device batched beam search.
+"""On-device batched beam search (parent-pointer formulation).
 
 Faithful re-design of /root/reference/Attention.lua:332-438 with the
 host round-trips removed: the reference deep-copies Lua hidden-state
 tables per hypothesis per step and runs `torch.topk` on CPU floats
 (:370,406 — SURVEY.md §3.4 calls this the anti-pattern); here the
 whole search lives in one `lax.while_loop` with K hypotheses as a
-batch axis, `jax.lax.top_k` on device, and gather-based state
-reindexing instead of deepcopy.
+batch axis and `jax.lax.top_k` on device.
 
-Semantics preserved exactly:
+Decode on TPU is launch-bound, not FLOP-bound: the fused attention
+step kernel is ~0.1 ms but a naive formulation spends 2-3x that on
+per-step bookkeeping. This implementation therefore never materializes
+token buffers inside the loop:
+
+  - each step appends ONE packed (parent, token) row to a
+    (cap+1, B, K) history via `dynamic_update_index_in_dim` (aliased
+    in-place by XLA as a loop carry);
+  - the finished pool holds only scalars per slot — score and a packed
+    (step, parent, token) record (all < 2^24, kept exactly in f32);
+  - the hypothesis tokens are reconstructed ONCE after the while_loop
+    by backtracking parent pointers with a length-cap `lax.scan`;
+  - all pool writes and live-slot compaction are tiny one-hot einsums
+    (K x K matmuls) instead of scatters/argsort-gathers, so XLA fuses
+    them into the surrounding elementwise work.
+
+Semantics preserved exactly (tests/test_decode.py pins them against an
+independent replica of the reference algorithm):
+
   - step 1 feeds the zero y_prev vector and zero state, takes top-K
     of the first logprobs; eos picks go straight to the finished pool
     (:357-387);
@@ -18,19 +35,22 @@ Semantics preserved exactly:
     or the per-sample max length, WITH that final token appended — to
     the finished pool (:390-427);
   - the finished pool is never re-pruned; the answer is the finished
-    hypothesis with max total logprob (:435-437);
+    hypothesis with max total logprob (:435-437), first-written wins
+    ties exactly as the materialized-pool version did;
   - maxseqlength counts post-first-step iterations, so a force-finished
     hypothesis holds maxseqlength+1 tokens;
   - eos id is caller-supplied (the reference passes the final target
     token, timit/timit.lua:398-401).
 
-Batched over B utterances with per-sample max lengths; a sample whose
-pool is full simply stops changing while the loop drains the others.
+Batched over B utterances with per-sample max lengths. A sample whose
+pool is full gets budget 0, so every pick routes to the dropped dump
+column and its pool provably stops changing while the loop drains the
+others — no explicit freeze masking needed.
 """
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +80,7 @@ def beam_search(
 ) -> BeamResult:
     """h: (B, L, A) annotations. max_steps: (B,) per-sample cap
     (reference: utterance length L, or 2L for LibriSpeech); defaults to
-    enc_lengths. max_steps_cap bounds the unrolled buffer (defaults to
+    enc_lengths. max_steps_cap bounds the history buffer (defaults to
     the padded L). Returns the best finished hypothesis per sample.
 
     With `axis_name` (inside shard_map) h is the LOCAL (B, L/n, A)
@@ -140,15 +160,13 @@ def beam_search(
 
     class Loop(NamedTuple):
         t: jnp.ndarray
-        tokens: jnp.ndarray  # (B, K, M) live hypothesis tokens
-        last: jnp.ndarray  # (B, K) last token id
-        lens: jnp.ndarray  # (B, K) live lengths
+        last: jnp.ndarray  # (B, K) last token id of each live slot
         scores: jnp.ndarray  # (B, K) live total logprobs
         live_count: jnp.ndarray  # (B,)
         state: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (B,K,·)
-        fin_tokens: jnp.ndarray  # (B, K+1, M) pool (+1 dump slot)
-        fin_lens: jnp.ndarray  # (B, K+1)
-        fin_scores: jnp.ndarray  # (B, K+1)
+        hist: jnp.ndarray  # (cap+1, B, K) packed token*K + parent
+        fin_scores: jnp.ndarray  # (B, K)
+        fin_meta: jnp.ndarray  # (B, K, 3) f32 (step, parent, token)
         fin_count: jnp.ndarray  # (B,)
 
     def init_loop() -> Loop:
@@ -160,15 +178,13 @@ def beam_search(
         )
         return Loop(
             t=jnp.asarray(0, jnp.int32),
-            tokens=jnp.zeros((b, k, m), jnp.int32),
             last=jnp.zeros((b, k), jnp.int32),
-            lens=jnp.zeros((b, k), jnp.int32),
             scores=jnp.zeros((b, k), sdtype),
             live_count=jnp.ones((b,), jnp.int32),  # one empty hypothesis
             state=state0,
-            fin_tokens=jnp.zeros((b, k + 1, m), jnp.int32),
-            fin_lens=jnp.zeros((b, k + 1), jnp.int32),
-            fin_scores=jnp.full((b, k + 1), NEG_INF, sdtype),
+            hist=jnp.zeros((cap + 1, b, k), jnp.int32),
+            fin_scores=jnp.full((b, k), NEG_INF, sdtype),
+            fin_meta=jnp.zeros((b, k, 3), sdtype),
             fin_count=jnp.zeros((b,), jnp.int32),
         )
 
@@ -205,66 +221,104 @@ def beam_search(
         is_fin = allowed & (jnp.equal(token, eos_id[:, None]) | hit_cap)
         to_live = allowed & ~is_fin
 
-        # Child hypotheses (parent tokens + new token).
-        ptoks = jnp.take_along_axis(lp.tokens, parent[:, :, None], axis=1)
-        plens = jnp.take_along_axis(lp.lens, parent, axis=1)
-        step_onehot = jax.nn.one_hot(plens, m, dtype=ptoks.dtype)  # (B,K,M)
-        ctoks = ptoks + step_onehot * token[:, :, None]
-        clens = plens + 1
-
-        # Append finished picks to the pool, preserving rank order.
+        # Append finished picks to the pool in rank order. dest == K is
+        # the dump column, dropped by the [..., :k] slice, so samples
+        # with a full pool (budget 0 -> is_fin all False) write nothing.
         dest = jnp.where(
             is_fin, lp.fin_count[:, None] + jnp.cumsum(is_fin, axis=1) - 1, k
-        )  # (B, K) in [0, K]; K = dump slot
-        fin_tokens = jax.vmap(lambda ft, d, c: ft.at[d].set(c))(
-            lp.fin_tokens, dest, ctoks
+        )  # (B, K) in [0, K]
+        wm = jax.nn.one_hot(dest, k + 1, dtype=sdtype)[..., :k]  # (B,K,K)
+        written = jnp.sum(wm, axis=1)  # (B, K) 0/1 per pool slot
+        fin_scores = lp.fin_scores * (1.0 - written) + jnp.einsum(
+            "bks,bk->bs", wm, val
         )
-        fin_lens = jax.vmap(lambda fl, d, c: fl.at[d].set(c))(lp.fin_lens, dest, clens)
-        fin_scores = jax.vmap(lambda fs, d, c: fs.at[d].set(c))(lp.fin_scores, dest, val)
-        # restore the dump slot
-        fin_tokens = fin_tokens.at[:, k].set(0)
-        fin_lens = fin_lens.at[:, k].set(0)
-        fin_scores = fin_scores.at[:, k].set(NEG_INF)
+        meta = jnp.stack(
+            [
+                jnp.broadcast_to(t.astype(sdtype), (b, k)),
+                parent.astype(sdtype),
+                token.astype(sdtype),
+            ],
+            axis=-1,
+        )  # (B, K, 3)
+        fin_meta = lp.fin_meta * (1.0 - written[:, :, None]) + jnp.einsum(
+            "bks,bkc->bsc", wm, meta
+        )
         fin_count = lp.fin_count + jnp.sum(is_fin, axis=1, dtype=jnp.int32)
 
-        # Compact surviving picks into the leading live slots (stable
-        # by rank, so order semantics match the reference lists).
-        order = jnp.argsort(~to_live, axis=1, stable=True)  # live ranks first
-
-        def gather(a):
-            idx = order.reshape(order.shape + (1,) * (a.ndim - 2))
-            return jnp.take_along_axis(a, idx, axis=1)
+        # Compact surviving picks into the leading live slots (stable by
+        # rank, so order semantics match the reference lists). cm maps
+        # picks -> slots; dead slots get zeros, masked by live_count
+        # next step.
+        live_dest = jnp.where(to_live, jnp.cumsum(to_live, axis=1) - 1, k)
+        cm = jax.nn.one_hot(live_dest, k + 1, dtype=sdtype)[..., :k]  # (B,K,K)
         new_live = jnp.sum(to_live, axis=1, dtype=jnp.int32)
-        sel_parent = gather(parent)
-        next_state = jax.tree.map(
-            lambda a: jax.vmap(lambda x, p: x[p])(a, sel_parent), new_state
+        sel_scores = jnp.einsum("bks,bk->bs", cm, val)
+        sel_token = jnp.einsum("bks,bk->bs", cm, token.astype(sdtype))
+        sel_parent = jnp.einsum("bks,bk->bs", cm, parent.astype(sdtype))
+        # State reindex: slot s takes the state of its pick's parent.
+        # gmat = cm^T @ onehot(parent): (B, K_slot, K_old) permutation.
+        gmat = jnp.einsum(
+            "brs,brj->bsj", cm, jax.nn.one_hot(parent, k, dtype=sdtype)
         )
-        samp_done = jnp.greater_equal(lp.fin_count, k)  # frozen samples
-
-        def keep_old(new, old):
-            return jnp.where(
-                samp_done.reshape((b,) + (1,) * (new.ndim - 1)), old, new
-            )
+        next_state = jax.tree.map(
+            lambda a: jnp.einsum("bsj,bj...->bs...", gmat.astype(a.dtype), a),
+            new_state,
+        )
+        # One packed history row per step (token*K + parent; token < 2^24
+        # exact in the f32 sel_* sums). Written in place as a loop carry.
+        code = (sel_token * k + sel_parent).astype(jnp.int32)
+        hist = jax.lax.dynamic_update_index_in_dim(lp.hist, code, t, axis=0)
 
         return Loop(
             t=t + 1,
-            tokens=keep_old(gather(ctoks), lp.tokens),
-            last=keep_old(gather(token), lp.last),
-            lens=keep_old(gather(clens), lp.lens),
-            scores=keep_old(gather(val), lp.scores),
-            live_count=keep_old(new_live, lp.live_count),
-            state=jax.tree.map(keep_old, next_state, lp.state),
-            fin_tokens=keep_old(fin_tokens, lp.fin_tokens),
-            fin_lens=keep_old(fin_lens, lp.fin_lens),
-            fin_scores=keep_old(fin_scores, lp.fin_scores),
-            fin_count=keep_old(fin_count, lp.fin_count),
+            last=sel_token.astype(jnp.int32),
+            scores=sel_scores,
+            live_count=new_live,
+            state=next_state,
+            hist=hist,
+            fin_scores=fin_scores,
+            fin_meta=fin_meta,
+            fin_count=fin_count,
         )
 
     final = jax.lax.while_loop(cond, body, init_loop())
-    best = jnp.argmax(final.fin_scores[:, :k], axis=1)  # (B,)
-    take = lambda a: jax.vmap(lambda x, i: x[i])(a, best)
-    return BeamResult(
-        tokens=take(final.fin_tokens[:, :k]),
-        lengths=take(final.fin_lens[:, :k]),
-        scores=take(final.fin_scores[:, :k]),
-    )
+
+    # Best finished hypothesis (argmax total logprob, first write wins
+    # ties — pool order is insertion order, as in the reference lists).
+    best = jnp.argmax(final.fin_scores, axis=1)  # (B,)
+    bh = jax.nn.one_hot(best, k, dtype=sdtype)
+    bscore = jnp.sum(final.fin_scores * bh, axis=1)
+    bmeta = jnp.einsum("bk,bkc->bc", bh, final.fin_meta)
+    bstep = bmeta[:, 0].astype(jnp.int32)  # step of the final token
+    bparent = bmeta[:, 1].astype(jnp.int32)  # live slot at step-1
+    btok = bmeta[:, 2].astype(jnp.int32)  # final token
+    # Every live hypothesis at step t holds exactly t tokens, so a
+    # hypothesis finished at step t has t+1 (its appended final token).
+    lengths = bstep + 1
+
+    # Single backtrack through the parent-pointer history: walk steps
+    # bstep-1 .. 0 emitting tokens in place (runs once, outside the
+    # decode loop — cap tiny gathers total instead of per step).
+    hist_tok = final.hist // k  # (cap+1, B, K)
+    hist_par = final.hist % k
+
+    def backstep(slot, xs):
+        tok_s, par_s, s = xs  # (B,K), (B,K), ()
+        active = s < bstep  # (B,)
+        take = lambda a: jnp.take_along_axis(a, slot[:, None], axis=1)[:, 0]
+        tok = jnp.where(active, take(tok_s), 0)
+        new_slot = jnp.where(active, take(par_s), slot)
+        return new_slot, tok
+
+    _, toks = jax.lax.scan(
+        backstep,
+        bparent,
+        (hist_tok[:cap], hist_par[:cap], jnp.arange(cap)),
+        reverse=True,
+    )  # toks: (cap, B), position s holds the hypothesis token at step s
+    tokens = jnp.concatenate(
+        [toks.T, jnp.zeros((b, 1), jnp.int32)], axis=1
+    )  # (B, M)
+    tokens = tokens + jax.nn.one_hot(bstep, m, dtype=jnp.int32) * btok[:, None]
+
+    return BeamResult(tokens=tokens, lengths=lengths, scores=bscore)

@@ -333,9 +333,10 @@ def decode_teacher_forced(
     )
     # Fused Pallas decoder scan (ops/pallas/attention_scan.py): the
     # whole T-step loop in one kernel with vh/h resident in VMEM.
-    # Covers the flagship feature_maps=0 GRU recipe; the lax.scan path
-    # below remains for location-aware attention, LSTM cells, the
-    # penalty ramp, and sequence sharding.
+    # Covers GRU recipes both content-only (feature_maps=0) and
+    # location-aware (feature_maps>0, the _loc kernels); the lax.scan
+    # path below remains for LSTM cells, the active penalty ramp, and
+    # sequence sharding.
     if axis_name is None and backend in ("auto", "pallas"):
         from .pallas import attention_scan as _as
 

@@ -18,10 +18,15 @@ of the batch: grid (B/BB, T) with t innermost, so the (BB, L, .) blocks
 are fetched once per batch block and every step's traffic is just the
 small per-step inputs/outputs.
 
-Scope: feature_maps == 0 (the flagship exp_logmel7_chorowski recipe,
-hybridAttendFeatureMaps defaults to 0 in timit/model_chorowski_baseline
-.lua) and GRU decoder cell with mem passthrough; the XLA scan path
-remains for location-aware attention and LSTM cells.
+Scope (must match `supported()` below): GRU decoder cell with mem
+passthrough, both content-only attention (feature_maps == 0, the
+flagship exp_logmel7_chorowski recipe — `_fwd_kernel`/`_bwd_kernel`)
+AND location-aware attention (feature_maps > 0, e.g. the conv+BiLSTM
+TIMIT recipe — `_fwd_kernel_loc`:~162 / `_bwd_kernel_loc`:~435 fuse the
+conv-over-previous-alpha UF term, Attention.lua:73-99, into the same
+scan). The XLA scan path remains for LSTM decoder cells, the active
+monotonic-penalty ramp (gradient-only, cheap), sequence sharding, and
+shapes `choose_block` rejects.
 
 The backward pass is a second Pallas kernel scanning t reversed that
 recomputes the step (tanh energies, gates) from the saved (alpha, s, c)

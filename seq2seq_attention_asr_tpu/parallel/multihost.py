@@ -30,17 +30,28 @@ def initialize(
     jax.distributed.initialize impossible ("must be called before any
     JAX calls") — so it inspects the distributed global state instead.
     """
-    from jax._src import distributed as _dist
+    try:
+        # Private-API probe; guarded so a JAX relayout degrades to the
+        # RuntimeError fallback below instead of a crash or a silent
+        # always-False check.
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized by the launcher
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized by the launcher
+    except Exception:
+        pass
     if num_processes in (None, 1) and coordinator_address is None:
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # Tolerate a launcher that already initialized the service.
+        if "already" not in str(e).lower():
+            raise
 
 
 def host_shard(ds, process_id: Optional[int] = None, process_count: Optional[int] = None):

@@ -138,12 +138,16 @@ class Transcriber:
 
         out: List[Optional[Transcription]] = [None] * n
         for l_pad, idxs in sorted(buckets.items()):
-            n_samp = (l_pad - 1) * HOP + 1
+            # Widest buffer that still frames to exactly l_pad: a member
+            # has len(p) <= l_pad*HOP - 1 (else it would frame to
+            # l_pad+1), so no trailing samples are ever dropped and the
+            # last frame sees the same PCM the offline pipeline frames.
+            n_samp = l_pad * HOP - 1
             x = np.zeros((len(idxs), n_samp), np.float32)
             nf = np.zeros((len(idxs),), np.int32)
             for j, i in enumerate(idxs):
                 p = np.asarray(pcms[i], np.float32)
-                x[j, : len(p)] = p[:n_samp]
+                x[j, : len(p)] = p
                 nf[j] = frames[i]
             eos = np.full((len(idxs),), self.eos_id, np.int32)
             res = self._pipeline(l_pad)(
