@@ -10,8 +10,9 @@ extra keys (VERDICT r1 items #4/#10):
                              (padding waste included, real audio-s)
   decode_audio_s_per_s     — beam-search (K=5) decode throughput via
                              the fused single-step attention kernel
-  decode_rtf               — decode real-time factor (audio-s per
-                             wall-s; >1 means faster than real time)
+  decode_rtf_per_stream    — per-utterance real-time factor (aggregate
+                             decode throughput / batch size; >1 means
+                             each stream decodes faster than real time)
 
 Metric: seconds of audio processed per wall-clock second per chip while
 running full training steps (forward + BPTT + adadelta update) on the
@@ -230,7 +231,7 @@ def main():
                 "tpu_gen": gen,
                 "realistic_mix_audio_s_per_s": round(mix_value, 2),
                 "decode_audio_s_per_s": round(decode_value, 2),
-                "decode_rtf": round(decode_value, 2),
+                "decode_rtf_per_stream": round(decode_value / b, 2),
             }
         )
     )

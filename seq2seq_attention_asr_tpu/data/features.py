@@ -309,21 +309,37 @@ def normalize_corpus(train_feats, *other_splits, pad: int = 10):
 # ---------------------------------------------------------------------------
 
 
-def delta_batched_jax(x, width: int = 9):
+def delta_batched_jax(x, width: int = 9, n_frames=None):
     """Batched on-device delta: (B, L, D) -> (B, L, D).
 
     Twin of delta_np (width-9 centered ramp, edge pad, unnormalized) —
     the single source of truth for both the XLA (logmel_jax) and fused
     Pallas (ops/pallas/logmel.py) front ends.
+
+    n_frames: optional (B,) true frame counts. When given, the edge
+    padding clamps at each utterance's OWN last frame (index arithmetic,
+    static shapes) so a short member of a padded batch gets exactly the
+    per-utterance offline deltas instead of a window bleeding into the
+    batch padding.
     """
     import jax
     import jax.numpy as jnp
 
     half = width // 2
     kernel = jnp.asarray(np.arange(-half, half + 1, dtype=np.float32))
-    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
-    idxs = np.arange(x.shape[1])[:, None] + np.arange(2 * half + 1)[None, :]
-    return jnp.einsum("blkd,k->bld", xp[:, idxs], kernel,
+    if n_frames is None:
+        xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
+        idxs = np.arange(x.shape[1])[:, None] + np.arange(2 * half + 1)[None, :]
+        return jnp.einsum("blkd,k->bld", xp[:, idxs], kernel,
+                          precision=jax.lax.Precision.HIGHEST)
+    nf = jnp.asarray(n_frames, jnp.int32)[:, None, None]  # (B,1,1)
+    li = (
+        np.arange(x.shape[1])[None, :, None]
+        + np.arange(-half, half + 1)[None, None, :]
+    )  # (1, L, W)
+    li = jnp.clip(li, 0, jnp.maximum(nf, 1) - 1)
+    win = jax.vmap(lambda xb, ib: xb[ib])(x, li)  # (B, L, W, D)
+    return jnp.einsum("blkd,k->bld", win, kernel,
                       precision=jax.lax.Precision.HIGHEST)
 
 
@@ -336,6 +352,7 @@ def logmel_jax(
     n_mels: int = 128,
     mean=None,
     std=None,
+    n_samples=None,
 ):
     """Batched on-device log-mel front end. y: (B, N) padded PCM ->
     (B, L, 3*(nfreqs+1)) float32 features.
@@ -343,31 +360,62 @@ def logmel_jax(
     jit-able; frames via gather + one rfft + one MXU matmul against the
     mel filterbank. Per-utterance top_db clipping uses each sample's own
     max like the offline path. Optionally applies corpus (mean, std).
+
+    n_samples: optional (B,) true PCM lengths. When given, the centered
+    STFT's reflect padding happens about each utterance's OWN signal end
+    via reflect-mapped gather indices (and the deltas edge-clamp at its
+    true frame count, the top_db peak masks padding frames), so every
+    member of a padded batch gets features bit-matching the offline
+    per-utterance pipeline (logmel_np) on its true frames — static
+    shapes, pure index arithmetic. Frames past a member's true count
+    hold reflect-continuation content and must be masked downstream.
     """
+    import jax
     import jax.numpy as jnp
 
     pad = n_fft // 2
-    yp = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
-    n_frames = 1 + (yp.shape[1] - n_fft) // hop
+    n_frames = 1 + y.shape[1] // hop
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = yp[:, idx] * window  # (B, L, n_fft)
+    if n_samples is None:
+        yp = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+        idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+        frames = yp[:, idx] * window  # (B, L, n_fft)
+        nf_true = None
+    else:
+        n = jnp.asarray(n_samples, jnp.int32)[:, None, None]  # (B,1,1)
+        nf_true = 1 + jnp.asarray(n_samples, jnp.int32) // hop  # (B,)
+        pos = (
+            (hop * np.arange(n_frames))[None, :, None]
+            - pad
+            + np.arange(n_fft)[None, None, :]
+        )  # (1, L, n_fft) signal positions incl. out-of-range
+        # np.pad(mode="reflect") index map for arbitrary positions:
+        # fold into the period 2n-2 triangle wave
+        period = jnp.maximum(2 * n - 2, 1)
+        q = jnp.mod(pos, period)
+        r = jnp.minimum(q, period - q)
+        frames = jax.vmap(lambda yb, rb: yb[rb])(y, r) * window
     spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
     S = jnp.abs(spec) ** 2  # (B, L, F)
-    import jax
 
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels).T, jnp.float32)
     # full f32 MXU passes: at TPU-default bf16 precision the mel matmul
     # alone costs ~2 dB of feature error (measured vs the float64 path)
     mel = jnp.matmul(S, fb, precision=jax.lax.Precision.HIGHEST)
     lm = 10.0 * jnp.log10(jnp.maximum(AMIN, mel))
-    peak = jnp.max(lm, axis=(1, 2), keepdims=True)
+    if nf_true is None:
+        peak = jnp.max(lm, axis=(1, 2), keepdims=True)
+    else:
+        fmask = np.arange(n_frames)[None, :, None] < nf_true[:, None, None]
+        peak = jnp.max(
+            jnp.where(fmask, lm, -jnp.inf), axis=(1, 2), keepdims=True
+        )
     lm = jnp.maximum(lm, peak - TOP_DB)[..., :nfreqs]
     energy = jnp.sqrt(jnp.mean(S, axis=-1, keepdims=True))
     spectr = jnp.concatenate([lm, energy], axis=-1)  # (B, L, nf+1)
 
-    d1 = delta_batched_jax(spectr)
-    d2 = delta_batched_jax(d1)
+    d1 = delta_batched_jax(spectr, n_frames=nf_true)
+    d2 = delta_batched_jax(d1, n_frames=nf_true)
     feats = jnp.concatenate([spectr, d1, d2], axis=-1)
     if mean is not None:
         feats = (feats - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
@@ -375,14 +423,22 @@ def logmel_jax(
 
 
 def logmel_device(y, sr: int = 16000, nfreqs: int = 40, mean=None, std=None,
-                  backend: str = "pallas", interpret: bool = False):
+                  backend: str = "pallas", interpret: bool = False,
+                  n_samples=None):
     """Batched on-device log-mel front end with backend selection.
 
     backend='pallas': one fused framing+windowed-DFT+mel+log kernel
     (ops/pallas/logmel.py — faster and, at TPU default matmul
     precision, substantially more accurate than the rfft path);
     backend='xla': jnp.fft.rfft + mel matmul (logmel_jax).
+
+    n_samples: optional (B,) true PCM lengths for exact per-utterance
+    parity with the offline pipeline (see logmel_jax) — the fused kernel
+    frames the whole padded buffer, so exact mode routes to the XLA path.
     """
+    if n_samples is not None:
+        return logmel_jax(y, sr, nfreqs=nfreqs, mean=mean, std=std,
+                          n_samples=n_samples)
     if backend == "pallas":
         from ..ops.pallas import logmel as _lm
 

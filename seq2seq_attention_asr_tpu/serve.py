@@ -44,6 +44,34 @@ class Transcription:
     text: Optional[str] = None
 
 
+def pack_bucket(pcms, idxs, frames, l_pad: int):
+    """Pack bucket members into one (n, l_pad*HOP - 1) PCM matrix.
+
+    The buffer is the WIDEST length that still frames to exactly l_pad
+    (a member has len(p) <= l_pad*HOP - 1, else it would frame to
+    l_pad + 1), so no trailing samples are ever dropped. Each row's tail
+    is filled with the reflect continuation of its signal — the centered
+    STFT's right padding (features.stft_np pads mode="reflect" about the
+    TRUE signal end) — so the last frame's features match the offline
+    per-utterance pipeline (tests/test_serve.py pins this against
+    features.logmel_np)."""
+    n_samp = l_pad * HOP - 1
+    x = np.zeros((len(idxs), n_samp), np.float32)
+    nf = np.zeros((len(idxs),), np.int32)
+    ns = np.zeros((len(idxs),), np.int32)
+    for j, i in enumerate(idxs):
+        p = np.asarray(pcms[i], np.float32)
+        x[j, : len(p)] = p
+        tail = min(n_samp - len(p), len(p) - 1)
+        if tail > 0:
+            x[j, len(p) : len(p) + tail] = np.pad(
+                p, (0, tail), mode="reflect"
+            )[len(p):]
+        nf[j] = frames[i]
+        ns[j] = len(p)
+    return x, nf, ns
+
+
 class Transcriber:
     """Batched PCM -> text. One jit-compiled program per length bucket.
 
@@ -65,6 +93,7 @@ class Transcriber:
         beam_k: int = 5,
         len_factor: float = 1.0,
         frontend: str = "pallas",  # "pallas" | "xla"
+        exact: bool = True,
         id_to_text: Optional[Callable[[Sequence[int]], str]] = None,
         frame_bucket: int = 16,
     ):
@@ -81,6 +110,12 @@ class Transcriber:
         self.beam_k = int(beam_k)
         self.len_factor = float(len_factor)
         self.frontend = frontend
+        # exact: features bit-match the offline per-utterance pipeline
+        # (reflect-mapped gathers + length-clamped deltas, logmel_jax
+        # n_samples mode) for every bucket member; False runs the fused
+        # Pallas kernel over the padded buffer (faster, tail frames'
+        # features deviate within the batch padding convention).
+        self.exact = bool(exact)
         self.id_to_text = id_to_text
         self.frame_bucket = int(frame_bucket)
         self._fns = {}  # padded frame count -> jitted pipeline
@@ -99,9 +134,12 @@ class Transcriber:
         std = None if self.std is None else jnp.asarray(self.std)
         cap = int(np.ceil(self.len_factor * (l_pad + 2 * pad)))
 
-        def run(params, pcm, n_frames, eos):
+        exact = self.exact
+
+        def run(params, pcm, n_frames, n_samples, eos):
             feats = features.logmel_device(
-                pcm, SR, mean=mean, std=std, backend=frontend
+                pcm, SR, mean=mean, std=std, backend=frontend,
+                n_samples=n_samples if exact else None,
             )
             if pad:
                 z = jnp.zeros((feats.shape[0], pad, feats.shape[2]), feats.dtype)
@@ -138,20 +176,11 @@ class Transcriber:
 
         out: List[Optional[Transcription]] = [None] * n
         for l_pad, idxs in sorted(buckets.items()):
-            # Widest buffer that still frames to exactly l_pad: a member
-            # has len(p) <= l_pad*HOP - 1 (else it would frame to
-            # l_pad+1), so no trailing samples are ever dropped and the
-            # last frame sees the same PCM the offline pipeline frames.
-            n_samp = l_pad * HOP - 1
-            x = np.zeros((len(idxs), n_samp), np.float32)
-            nf = np.zeros((len(idxs),), np.int32)
-            for j, i in enumerate(idxs):
-                p = np.asarray(pcms[i], np.float32)
-                x[j, : len(p)] = p
-                nf[j] = frames[i]
+            x, nf, ns = pack_bucket(pcms, idxs, frames, l_pad)
             eos = np.full((len(idxs),), self.eos_id, np.int32)
             res = self._pipeline(l_pad)(
-                self.params, jnp.asarray(x), jnp.asarray(nf), jnp.asarray(eos)
+                self.params, jnp.asarray(x), jnp.asarray(nf),
+                jnp.asarray(ns), jnp.asarray(eos),
             )
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.lengths)

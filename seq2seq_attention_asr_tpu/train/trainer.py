@@ -600,16 +600,36 @@ class Trainer:
 
     def _copy_predictions(self, tag: str):
         """predictions_best_*.t7 parity (timit.lua:555-562): snapshot
-        the current epoch's prediction dump under the best-metric name."""
+        the current epoch's prediction dump under the best-metric name.
+
+        With decode_every > 1 the best-metric epoch may not have written
+        a dump; fall back to the most recent predictions_epoch*.npz (and
+        log which one) so the best_* snapshot never silently goes stale
+        relative to the checkpoint it accompanies."""
         if not (self.tcfg.dump_predictions and self.save_dir):
             return
+        import glob
+        import re
         import shutil
 
         src = os.path.join(self.save_dir, f"predictions_epoch{self.epoch}.npz")
-        if os.path.exists(src):
-            shutil.copyfile(
-                src, os.path.join(self.save_dir, f"predictions_{tag}.npz")
+        if not os.path.exists(src):
+            cands = glob.glob(
+                os.path.join(self.save_dir, "predictions_epoch*.npz")
             )
+            key = lambda p: int(re.search(r"epoch(\d+)", p).group(1))
+            cands = sorted((p for p in cands if re.search(r"epoch(\d+)", p)),
+                           key=key)
+            if not cands:
+                return
+            src = cands[-1]
+            self.log.append({
+                "epoch": self.epoch, "event": "predictions_fallback",
+                "tag": tag, "source": os.path.basename(src),
+            })
+        shutil.copyfile(
+            src, os.path.join(self.save_dir, f"predictions_{tag}.npz")
+        )
 
     def _maybe_dump_attention(self, params, batch):
         """Per-epoch attention introspection dump — parity with the
