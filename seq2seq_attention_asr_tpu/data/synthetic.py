@@ -99,3 +99,49 @@ def train_valid(
         n_valid, seed=seed + 1, prototypes=protos, **kwargs
     )
     return train, valid, v
+
+
+def timit_shaped(
+    n_train: int,
+    n_valid: int,
+    *,
+    noise: float = 0.35,
+    seed: int = 1,
+    min_len: int = 25,
+    max_len: int = 50,
+    frames_per_phone: Tuple[int, int] = (2, 5),
+):
+    """TIMIT-shaped corpus: the standard 61-phone(+<EOS>) vocabulary,
+    TIMIT-like utterance shapes, and y39 targets so evaluation scores
+    the REAL TIMIT PER metric (61->39 fold + beam search,
+    /root/reference/timit/timit.lua:397-415, utils.lua:3).
+
+    Shape parity with real TIMIT: ~25-50 phones per utterance (TIMIT
+    train averages ~38) at 2-5 frames per phone (~80 ms mean duration
+    at the 512-sample/16 kHz hop) -> ~60-250 frames, 123-dim features.
+
+    Returns (train, valid, vocab) where vocab is data.timit.Vocab
+    (pass it to Trainer so evaluate() maps hypotheses 61->39 exactly as
+    the reference does).
+    """
+    import dataclasses
+
+    from .timit import Vocab
+
+    vocab = Vocab.standard()
+    n_ph = vocab.size - 1  # 61 emitting phones; <EOS> = 61 is last
+    shape = dict(
+        min_len=min_len, max_len=max_len,
+        frames_per_phone=frames_per_phone, noise=noise,
+    )
+    train, protos, v = make_corpus(
+        n_train, n_phones=n_ph, feat_dim=123, seed=seed, **shape
+    )
+    valid, _, _ = make_corpus(
+        n_valid, seed=seed + 1, prototypes=protos, **shape
+    )
+    assert v == vocab.size
+    fold = lambda ds: dataclasses.replace(
+        ds, y39=[vocab.map_ids_61_to_39(y) for y in ds.y]
+    )
+    return fold(train), fold(valid), vocab

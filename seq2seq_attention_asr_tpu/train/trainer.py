@@ -123,7 +123,12 @@ def make_step_core(
         lens = jnp.maximum(jnp.sum(dec_mask, axis=-1), 1.0)
         if tcfg.normalize_nll:
             per_utt = per_utt / lens
-        loss = jnp.mean(per_utt)
+        # Mean over REAL utterances: a row with an all-zero dec_mask is
+        # batch padding (the mesh trainer pads ragged batches up to the
+        # dp divisor with dead copies) and must affect neither the loss
+        # value nor its scale. For full batches this is jnp.mean.
+        row = (jnp.sum(dec_mask, axis=-1) > 0).astype(per_utt.dtype)
+        loss = jnp.sum(per_utt * row) / jnp.maximum(jnp.sum(row), 1.0)
         return loss, out
 
     def step_fn(state, batch):
@@ -223,11 +228,13 @@ def make_eval_step(
         per_step = -jnp.sum(onehot * out["logprobs"], axis=-1) * dec_mask
         nll = jnp.sum(per_step)
         correct, total = token_accuracy(out["logprobs"], y, dec_mask)
+        # n counts REAL rows (any unmasked decoder step) so dead padding
+        # rows from the mesh trainer don't dilute the per-utterance NLL.
         return {
             "nll": nll,
             "correct": correct,
             "total": total,
-            "n": jnp.asarray(x.shape[0], jnp.float32),
+            "n": jnp.sum((jnp.sum(dec_mask, axis=-1) > 0).astype(jnp.float32)),
         }
 
     return eval_fn
@@ -325,6 +332,7 @@ class Trainer:
         save_dir: Optional[str] = None,
         optim_resets: Optional[Dict[int, optim_lib.OptimConfig]] = None,
         jit: bool = True,
+        mesh=None,  # jax.sharding.Mesh -> dp x sp sharded fit/eval/decode
     ):
         self.model = model
         self.ocfg = ocfg
@@ -332,8 +340,15 @@ class Trainer:
         self.vocab = vocab
         self.save_dir = save_dir
         self.optim_resets = optim_resets or {}
+        self.mesh = mesh
+        # multi-controller SPMD (one process per host, SURVEY.md §2.6):
+        # every host runs this same Trainer over its host_shard of the
+        # data; batches assemble into global dp-sharded arrays.
+        self.n_proc = jax.process_count() if mesh is not None else 1
         self.log = MetricLog(
-            os.path.join(save_dir, "log.jsonl") if save_dir else None
+            os.path.join(save_dir, "log.jsonl")
+            if save_dir and jax.process_index() == 0
+            else None
         )
         self._build(ocfg, jit)
         self.state = None
@@ -342,7 +357,25 @@ class Trainer:
 
     def _build(self, ocfg, jit=True):
         tx = optim_lib.build_optimizer(ocfg)
-        self.init_fn, step_fn = make_train_step(
+        self.init_fn = make_init_fn(tx, self.tcfg)
+        if self.mesh is not None:
+            # the mesh-wired driver: the SAME step cores, jitted with
+            # dp-sharded batches + replicated state (parallel/dp.py) —
+            # the "distributed driver" the reference never had
+            # (timit.lua:493-565 is single-GPU).
+            from ..parallel import dp as dp_lib
+
+            self.step_fn = dp_lib.make_sharded_train_step(
+                self.model, tx, self.tcfg, ocfg, self.mesh
+            )
+            self.eval_fn = dp_lib.make_sharded_eval_step(self.model, self.mesh)
+            self.decode_fn = dp_lib.make_sharded_decode_step(
+                self.model, self.mesh, self.tcfg.beam_k,
+                self.tcfg.eval_len_factor,
+                compute_dtype=getattr(self.model.cfg, "compute_dtype", "float32"),
+            )
+            return
+        step_fn = make_step_core(
             self.model.forward, tx, ocfg, self.tcfg, self.model.output_depth
         )
         eval_fn = make_eval_step(self.model.forward, self.model.output_depth)
@@ -363,8 +396,18 @@ class Trainer:
 
     # -- state management ---------------------------------------------------
 
+    def _replicate(self, tree):
+        """Place a pytree replicated over the mesh (no-op without one)."""
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, tree)
+        from ..parallel.mesh import put_replicated
+
+        return put_replicated(self.mesh, tree)
+
     def init(self, params):
-        self.state = self.init_fn(params, jax.random.PRNGKey(self.tcfg.seed))
+        self.state = self._replicate(
+            self.init_fn(params, jax.random.PRNGKey(self.tcfg.seed))
+        )
         return self.state
 
     def _ckpt_path(self, tag: str) -> str:
@@ -375,10 +418,17 @@ class Trainer:
 
         if not self.save_dir:
             return
-        checkpoint.save(
-            self._ckpt_path(tag),
-            {"state": self.state, "epoch": self.epoch, "best": self.best},
-        )
+        # multi-controller runs: state is replicated, so host 0 writes
+        # the single source of truth (every host reads it on resume)
+        if jax.process_index() == 0:
+            checkpoint.save(
+                self._ckpt_path(tag),
+                {"state": self.state, "epoch": self.epoch, "best": self.best},
+            )
+        if self.n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_{tag}_{self.epoch}")
 
     def resume(self) -> bool:
         from . import checkpoint
@@ -390,21 +440,66 @@ class Trainer:
             return False
         like = {"state": self.state, "epoch": 0, "best": dict(self.best)}
         blob = checkpoint.load(path, like=like)
-        self.state = jax.tree.map(jnp.asarray, blob["state"])
+        self.state = self._replicate(blob["state"])
         self.epoch = int(blob["epoch"])
         self.best = {k: float(v) for k, v in blob["best"].items()}
         return True
 
     # -- epoch phases -------------------------------------------------------
 
-    @staticmethod
-    def _batch_arrays(batch):
-        return (
-            jnp.asarray(batch.x),
-            jnp.asarray(batch.x_len),
-            jnp.asarray(batch.y),
-            jnp.asarray(batch.dec_mask),
+    def _prepare_batch(self, batch, with_eos: bool = False):
+        """Host batch -> step-ready arrays.
+
+        Without a mesh: jnp conversion. With one: the leading axis pads
+        up to the per-host dp divisor with DEAD copies of row 0
+        (dec_mask all zero — contributes nothing to loss/metrics/
+        penalty; real content so lengths stay valid for the attention
+        softmax), and under multi-controller SPMD the per-host local
+        arrays stitch into one global dp-sharded batch
+        (multihost.global_batch).
+
+        Returns (arrays, n_real_local, y_len, eos) — y_len/eos padded
+        to match; eos (the per-utterance final target token,
+        timit.lua:398) is None unless with_eos.
+        """
+        arrs = (
+            np.asarray(batch.x),
+            np.asarray(batch.x_len),
+            np.asarray(batch.y),
+            np.asarray(batch.dec_mask),
         )
+        y_len = np.asarray(batch.y_len)
+        n = arrs[0].shape[0]
+        eos = None
+        if with_eos:
+            eos = arrs[2][np.arange(n), y_len - 1].astype(np.int32)
+        if self.mesh is None:
+            return (
+                tuple(jnp.asarray(a) for a in arrs), n, y_len,
+                None if eos is None else jnp.asarray(eos),
+            )
+        dp = self.mesh.shape["dp"] // self.n_proc or 1
+        b_pad = -(-n // dp) * dp
+        if b_pad != n:
+            k = b_pad - n
+            rep = lambda a: np.concatenate([a, np.repeat(a[:1], k, axis=0)])
+            x, x_len, y, dec_mask = (rep(a) for a in arrs)
+            dec_mask = dec_mask.copy()
+            dec_mask[n:] = 0.0  # dead rows
+            arrs = (x, x_len, y, dec_mask)
+            y_len = rep(y_len)
+            if eos is not None:
+                eos = rep(eos)
+        if self.n_proc > 1:
+            from ..parallel import multihost
+
+            tree = arrs if eos is None else arrs + (eos,)
+            tree = multihost.global_batch(self.mesh, tree)
+            arrs, eos = tree[:4], (tree[4] if len(tree) == 5 else None)
+        return arrs, n, y_len, eos
+
+    def _batch_arrays(self, batch):
+        return self._prepare_batch(batch)[0]
 
     # Device/host sync stride: metrics accumulate ON DEVICE and are read
     # back (forcing a sync) only every this many batches, so dispatch
@@ -529,7 +624,7 @@ class Trainer:
             if first:
                 first = False
                 self._maybe_dump_attention(params, batch)
-            arrs = self._batch_arrays(batch)
+            arrs, n_real, y_len, eos = self._prepare_batch(batch, with_eos=True)
             m = self.eval_fn(params, arrs)
             md = {k: m[k] for k in ("nll", "correct", "total", "n")}
             acc_dev = md if acc_dev is None else jax.tree.map(
@@ -537,8 +632,6 @@ class Trainer:
             )
             if decode:
                 x, x_len, y, _ = arrs
-                # eos = final target token (timit.lua:398)
-                eos = y[jnp.arange(y.shape[0]), jnp.asarray(batch.y_len) - 1]
                 # The token buffer must hold factor*L hypotheses: the
                 # LibriSpeech recipe decodes up to 2L steps
                 # (librispeech/train.lua:251-252), which EXCEEDS the
@@ -546,8 +639,12 @@ class Trainer:
                 # chop the budget for any utterance longer than L_pad/2.
                 cap = int(math.ceil(self.tcfg.eval_len_factor * x.shape[1]))
                 res = self.decode_fn(params, x, x_len, eos, max_steps_cap=cap)
-                pred = np.asarray(res.tokens)
-                plen = np.asarray(res.lengths)
+                # mesh decode results come back replicated/global: this
+                # host scores ITS contiguous slice of the global batch
+                off = jax.process_index() * len(y_len)
+                sl = slice(off, off + n_real)
+                pred = np.asarray(res.tokens)[sl]
+                plen = np.asarray(res.lengths)[sl]
                 if self.vocab is not None and batch.y39 is not None:
                     targets = np.asarray(batch.y39)
                     pred = self.vocab.map_ids_61_to_39(pred)
@@ -564,7 +661,7 @@ class Trainer:
                 if dump_pred:
                     pred_rows.append((
                         list(batch.uids), pred, plen,
-                        np.asarray(res.scores), targets,
+                        np.asarray(res.scores)[sl], targets,
                         np.asarray(batch.y_len),
                     ))
         if dump_pred and pred_rows:
@@ -577,7 +674,19 @@ class Trainer:
             "valid_seconds": time.time() - t0,
         }
         if decode and dists:
-            out["valid_per"] = float(np.mean(dists))
+            if self.n_proc > 1:
+                # global PER: per-host (sum, count) pairs all-gathered so
+                # every controller reports the same corpus mean
+                from jax.experimental import multihost_utils
+
+                agg = multihost_utils.process_allgather(
+                    np.asarray([float(np.sum(dists)), float(len(dists))])
+                )
+                out["valid_per"] = float(
+                    np.sum(agg[:, 0]) / max(np.sum(agg[:, 1]), 1.0)
+                )
+            else:
+                out["valid_per"] = float(np.mean(dists))
         return out
 
     def _dump_predictions(self, rows):

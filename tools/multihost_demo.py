@@ -3,11 +3,12 @@
 
 Every host runs THIS script (the standard JAX multi-controller model).
 It wires jax.distributed, shards the dataset per host
-(parallel/multihost.host_shard), assembles global dp-sharded batches
-from host-local arrays (multihost.global_batch), and runs real sharded
-train steps (parallel/dp.py) over the global mesh — the workflow a
-TPU pod uses verbatim (there the launcher sets the coordinator env and
-the backend is "tpu"; nothing else changes).
+(parallel/multihost.host_shard), then hands the mesh to the Trainer and
+calls fit() — the full epoch driver (global dp-sharded batches, sharded
+train/eval/beam steps, cross-host PER, host-0 checkpoints) runs over
+the global mesh. A TPU pod uses this workflow verbatim (there the
+launcher sets the coordinator env and the backend is "tpu"; nothing
+else changes).
 
 Single-machine demo (2 simulated hosts x 2 CPU devices each):
 
@@ -52,21 +53,22 @@ def worker(args):
         jax.process_count(), args.num_processes
     )
 
-    import jax.numpy as jnp
-    import numpy as np
-
     from seq2seq_attention_asr_tpu.data import batching, synthetic
     from seq2seq_attention_asr_tpu.models import registry
-    from seq2seq_attention_asr_tpu.parallel import dp as dp_lib
     from seq2seq_attention_asr_tpu.parallel import make_mesh
     from seq2seq_attention_asr_tpu.train import optim as optim_lib
     from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
 
-    # identical corpus everywhere; each host takes its deterministic slice
-    ds, _, v = synthetic.make_corpus(
-        32, n_phones=5, feat_dim=8, min_len=2, max_len=4, seed=0
+    # identical corpus everywhere; each host takes its deterministic
+    # slice. The Trainer does the rest: global dp-sharded batches
+    # (multihost.global_batch), dead-row padding for ragged batches,
+    # replicated decode results, cross-host PER aggregation, and
+    # host-0 checkpoints behind a barrier.
+    train, valid, v = synthetic.train_valid(
+        32, 8, n_phones=5, feat_dim=8, min_len=2, max_len=4, seed=0
     )
-    local_ds = multihost.host_shard(ds)
+    local_train = multihost.host_shard(train)
+    local_valid = multihost.host_shard(valid)
     mesh = make_mesh(dp=jax.device_count(), sp=1)
 
     model = registry.build(
@@ -74,32 +76,27 @@ def worker(args):
         output_frame_size=8, score_depth=8, state_depth=8, mlp_depth=8,
         output_depth=v, feature_maps=0, filt_size=5,
     )
-    tcfg = trainer_lib.TrainConfig(normalize_nll=True)
-    ocfg = optim_lib.OptimConfig()
-    tx = optim_lib.build_optimizer(ocfg)
-    step = dp_lib.make_sharded_train_step(model, tx, tcfg, ocfg, mesh)
-    state = trainer_lib.make_init_fn(tx, tcfg)(
-        model.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(1)
+    tcfg = trainer_lib.TrainConfig(
+        num_epochs=2, batch_size=8, normalize_nll=True, beam_k=2,
+        prefetch=0,
     )
-
-    # every host pads its local shard identically, then the local
-    # arrays stitch into one global dp-sharded batch
-    per_host = len(local_ds)
-    batcher = batching.BucketedBatcher(l_buckets=[32], batch_size=per_host)
-    losses = []
-    for _ in range(2):
-        for b in batcher.batches(local_ds):
-            batch = multihost.global_batch(
-                mesh, (b.x, b.x_len.astype(np.int32), b.y, b.dec_mask)
-            )
-            state, m = step(state, batch)
-            losses.append(float(m["nll"]))
+    tr = trainer_lib.Trainer(
+        model, optim_lib.OptimConfig(), tcfg, mesh=mesh,
+        save_dir=args.save_dir or None,
+    )
+    tr.init(model.init(jax.random.PRNGKey(0)))
+    rows = list(tr.fit(local_train, local_valid,
+                       batching.BucketedBatcher(l_buckets=[32], batch_size=8),
+                       decode_every=2))
     print(
         f"proc {args.process_id}/{args.num_processes}: "
-        f"devices={jax.device_count()} nll {losses[0]:.4f} -> {losses[-1]:.4f}",
+        f"devices={jax.device_count()} "
+        f"nll {rows[0]['train_nll']:.4f} -> {rows[-1]['train_nll']:.4f} "
+        f"per {rows[-1].get('valid_per', float('nan')):.4f}",
         flush=True,
     )
-    assert losses[-1] < losses[0], "nll did not fall across hosts"
+    assert rows[-1]["train_nll"] < rows[0]["train_nll"], "nll did not fall"
+    assert "valid_per" in rows[-1], "cross-host beam PER missing"
     print(f"MULTIHOST_OK proc={args.process_id}", flush=True)
 
 
@@ -112,6 +109,8 @@ def main():
     ap.add_argument("--coordinator", default="127.0.0.1:29501")
     ap.add_argument("--local-devices", type=int, default=2)
     ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--save-dir", default="",
+                    help="shared checkpoint dir (host 0 writes)")
     args = ap.parse_args()
 
     if args.launch:
@@ -122,6 +121,7 @@ def main():
                 "--num-processes", str(args.launch),
                 "--coordinator", args.coordinator,
                 "--local-devices", str(args.local_devices),
+                "--save-dir", args.save_dir,
             ])
             for i in range(args.launch)
         ]
