@@ -222,6 +222,10 @@ def run_cli(builder, dataset: str, argv=None, source_file: Optional[str] = None)
     ap.add_argument("--max-samples", type=int, default=None)
     ap.add_argument("--decode-every", type=int, default=1)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel mesh axis (0 = unsharded driver)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-sharding mesh axis (needs --dp)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -291,11 +295,16 @@ def run_cli(builder, dataset: str, argv=None, source_file: Optional[str] = None)
         exp.model_kwargs["input_frame_size"] = int(train_ds.x[0].shape[-1])
     exp.archive(source_file)
 
+    mesh = None
+    if args.dp or args.sp > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp or None, sp=args.sp)
     model = exp.build_model()
     params = exp.init_params(jax.random.PRNGKey(exp.train.seed))
     tr = Trainer(
         model, exp.optim, exp.train, vocab=vocab, save_dir=exp.save_dir,
-        optim_resets=exp.optim_resets,
+        optim_resets=exp.optim_resets, mesh=mesh,
     )
     tr.init(params)
     batcher = batching.BucketedBatcher.from_dataset(

@@ -1,0 +1,107 @@
+"""docs/REPRODUCE_TIMIT.md runbook, executed verbatim on a fabricated
+miniature TIMIT tree: preprocess -> train (canonical recipe CLI) ->
+extract alignments. Mounting real TIMIT is then a one-variable change
+(--root). Subprocesses run the actual tools/ entry points."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# one pseudo-pronunciation per utterance (valid TIMIT-61 symbols)
+_PHONES = [
+    ["h#", "sh", "iy", "hv", "ae", "dcl", "h#"],
+    ["h#", "s", "ux", "q", "en", "h#"],
+    ["h#", "gcl", "g", "r", "iy", "s", "iy", "h#"],
+    ["h#", "w", "aa", "sh", "w", "aa", "dx", "axr", "h#"],
+]
+
+
+def _write_utt(dirname, stem, phones, seed, n_samp=9600):
+    os.makedirs(dirname, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    t = np.arange(n_samp) / 16000.0
+    pcm = 0.2 * np.sin(2 * np.pi * (200 + 40 * seed) * t)
+    pcm += 0.05 * rng.randn(n_samp)
+    import scipy.io.wavfile as wavfile
+
+    wavfile.write(
+        os.path.join(dirname, stem + ".WAV"),
+        16000,
+        (pcm * 32767).astype(np.int16),
+    )
+    edges = np.linspace(0, n_samp, len(phones) + 1).astype(int)
+    with open(os.path.join(dirname, stem + ".PHN"), "w") as f:
+        for p, a, b in zip(phones, edges[:-1], edges[1:]):
+            f.write(f"{a} {b} {p}\n")
+
+
+@pytest.fixture(scope="module")
+def timit_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("timit_root")
+    # MTLB0 is in the standard 50-speaker validation split
+    _write_utt(str(root / "TRAIN/DR1/MTLB0"), "SX1", _PHONES[0], 1)
+    _write_utt(str(root / "TRAIN/DR1/MTLB0"), "SI1", _PHONES[1], 2)
+    _write_utt(str(root / "TRAIN/DR2/FAAA0"), "SX2", _PHONES[2], 3)
+    _write_utt(str(root / "TRAIN/DR2/FAAA0"), "SI2", _PHONES[3], 4)
+    _write_utt(str(root / "TRAIN/DR3/MBBB0"), "SX3", _PHONES[0], 5)
+    _write_utt(str(root / "TRAIN/DR3/MBBB0"), "SI3", _PHONES[1], 6)
+    # SA sentences must be skipped (preprocess_timit.py:37-59 parity)
+    _write_utt(str(root / "TRAIN/DR2/FAAA0"), "SA1", _PHONES[0], 7)
+    _write_utt(str(root / "TEST/DR1/MCCC0"), "SX4", _PHONES[2], 8)
+    return str(root)
+
+
+def _run(cmd):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable] + cmd, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, f"{cmd}\nSTDOUT:{r.stdout}\nSTDERR:{r.stderr}"
+    return r.stdout
+
+
+def test_runbook_preprocess_train_extract(timit_tree, tmp_path):
+    data = str(tmp_path / "data")
+    save = str(tmp_path / "run")
+
+    # §1 preprocess
+    out = _run(["tools/preprocess_timit.py", "--root", timit_tree,
+                "--out", data])
+    assert "4 train / 2 valid / 1 test" in out, out  # SA skipped
+    logmel = os.path.join(data, "logmel")
+    for f in ("train.h5", "valid.h5", "test.h5", "mean_std.npz",
+              "phonemes.txt"):
+        assert os.path.exists(os.path.join(logmel, f))
+    assert "inputFrameSize=123" in out
+
+    # §2 train the canonical recipe (1 epoch, CPU)
+    out = _run(["tools/train.py", "--exp", "timit_chorowski",
+                "--data", logmel, "--save", save,
+                "--epochs", "1", "--batch-size", "4", "--cpu"])
+    assert "valid_per=" in out
+    rows = [json.loads(l) for l in open(os.path.join(save, "log.jsonl"))]
+    assert rows and "valid_per" in rows[-1]
+    assert os.path.isdir(os.path.join(save, "ckpt_latest"))
+    # the config self-archives (exp_logmel7:16-22 parity)
+    assert os.path.exists(os.path.join(save, "experiment.json"))
+
+    # §3 attention-alignment dump (ExtractAlpha.lua parity)
+    alpha = str(tmp_path / "alpha_sample.h5")
+    _run(["tools/extract_alpha.py", "--ckpt",
+          os.path.join(save, "ckpt_latest"), "--data", logmel,
+          "--out", alpha, "--n", "2", "--cpu"])
+    import h5py
+
+    with h5py.File(alpha) as f:
+        uids = list(f.keys())
+        assert len(uids) == 2
+        g = f[uids[0]]
+        a = np.asarray(g["alpha"])
+        assert a.ndim == 2 and np.allclose(a.sum(-1), 1.0, atol=1e-4)
