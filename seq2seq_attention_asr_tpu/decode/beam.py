@@ -119,6 +119,7 @@ def beam_search(
     vh = attention.precompute_vh(params, h)
 
     use_fused = False
+    fuse_readout = False
     if axis_name is None and backend in ("auto", "pallas"):
         from ..ops.pallas import attention_step as _fused
 
@@ -127,6 +128,9 @@ def beam_search(
             backend == "pallas" or not interpret
         ):
             use_fused = True
+            # whole step = ONE kernel launch (decode is launch-bound):
+            # the readout MLP + f32 log_softmax run in-kernel too
+            fuse_readout = _fused.readout_fusable(cfg)
 
     # Expand encoder tensors over the beam axis once: (B, K, ...). The
     # fused kernel never materializes these — only the XLA path does.
@@ -140,8 +144,10 @@ def beam_search(
         if use_fused:
             new_state, out = _fused.fused_attention_step(
                 params, cfg, state, y_prev, vh, h, enc_mask,
-                interpret=interpret,
+                with_readout=fuse_readout, interpret=interpret,
             )
+            if fuse_readout:
+                return new_state, out["logp"]
             logp = attention.apply_readout(params, cfg, out["s"], out["c"])
             return new_state, logp
         fs = jax.tree.map(lambda a: a.reshape((b * k,) + a.shape[2:]), state)

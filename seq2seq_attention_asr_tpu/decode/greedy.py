@@ -47,6 +47,7 @@ def greedy_decode(
     state0 = attention.init_state(cfg, b, l_pad, dtype)
 
     use_fused = False
+    fuse_readout = False
     if backend in ("auto", "pallas"):
         from ..ops.pallas import attention_step as _fused
 
@@ -55,6 +56,7 @@ def greedy_decode(
             backend == "pallas" or not interpret
         ):
             use_fused = True
+            fuse_readout = _fused.readout_fusable(cfg)
 
     def step(carry, t):
         state, last, done, total = carry
@@ -62,10 +64,11 @@ def greedy_decode(
         y_prev = jnp.where(jnp.equal(t, 0), jnp.zeros_like(onehot), onehot)
         if use_fused:
             # K=1 hypothesis grid through the fused single-step kernel
+            # (readout + log_softmax in-kernel too when fusable)
             st1 = jax.tree.map(lambda a: a[:, None], state)
             new1, out1 = _fused.fused_attention_step(
                 params, cfg, st1, y_prev[:, None], vh, h, enc_mask,
-                interpret=interpret,
+                with_readout=fuse_readout, interpret=interpret,
             )
             new_state = jax.tree.map(lambda a: a[:, 0], new1)
             out = {kk: vv[:, 0] for kk, vv in out1.items()}
@@ -73,7 +76,9 @@ def greedy_decode(
             new_state, out = attention.attention_step(
                 params, cfg, state, y_prev, vh, h, enc_mask, ramp=None
             )
-        logp = attention.apply_readout(params, cfg, out["s"], out["c"])
+        logp = out["logp"] if "logp" in out else attention.apply_readout(
+            params, cfg, out["s"], out["c"]
+        )
         tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         tok_lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
         emit = ~done

@@ -37,10 +37,55 @@ from .attention_scan import (
 )
 
 
-def _kernel(k_hyp, vh_ref, h_ref, mask_ref, yin_ref, sprev_ref,
-            ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
-            alpha_out, c_out, s_out):
-    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+def _apply_readout_fused(ro_spec, refs, x, dt):
+    """decoder_mlp(concat(s, c)) + log_softmax inside the kernel.
+
+    x: (BB, St+A) float32. refs: restructured weight refs (see
+    _readout_args — maxout weights pre-split per window tap so the max
+    is over `win` full-width matmul results instead of a lane-dim
+    regroup, which Mosaic cannot relayout). Returns (BB, V) float32
+    log-probs.
+
+    Dtype flow mirrors readout.stack_apply EXACTLY (the XLA path is the
+    correctness reference the parity tests pin): every layer's output
+    rounds to the IO dtype `dt` (XLA's bf16 dot rounds its f32
+    accumulator to bf16), and only the final log_softmax runs f32 —
+    bitwise-matching beam decisions under mixed precision.
+    """
+    f32 = jnp.float32
+    i = 0
+    for spec in ro_spec:
+        kind = spec[0]
+        if kind == "linear":
+            w, b = refs[i], refs[i + 1]
+            i += 2
+            x = (
+                jnp.dot(x.astype(dt), w[:], preferred_element_type=f32)
+                .astype(dt) + b[:]
+            )
+        elif kind == "maxout":
+            w, b = refs[i], refs[i + 1]
+            i += 2
+            x_dt = x.astype(dt)
+            acc = None
+            for j in range(w.shape[0]):
+                y = jnp.dot(
+                    x_dt, w[j], preferred_element_type=f32
+                ).astype(dt) + b[j]
+                acc = y if acc is None else jnp.maximum(acc, y)
+            x = acc
+        elif kind == "relu":
+            x = jnp.maximum(x, 0.0)
+        # dropout: eval-mode identity (decoding never trains)
+    x = x.astype(f32)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    return x - m - jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
+
+
+def _kernel(k_hyp, ro_spec, n_ro, vh_ref, h_ref, mask_ref, yin_ref,
+            sprev_ref, *rest):
+    wargs, ro_refs, outs = rest[:9], rest[9 : 9 + n_ro], rest[9 + n_ro :]
+    w = _weights_dict(*wargs)
     dt = vh_ref.dtype
     f32 = jnp.float32
     vh = vh_ref[:]
@@ -51,19 +96,23 @@ def _kernel(k_hyp, vh_ref, h_ref, mask_ref, yin_ref, sprev_ref,
             vh, h, mask, yin_ref[k].astype(f32), sprev_ref[k].astype(f32),
             w, dt,
         )
-        alpha_out[k] = alpha.astype(alpha_out.dtype)
-        c_out[k] = c.astype(c_out.dtype)
-        s_out[k] = s_new.astype(s_out.dtype)
+        outs[0][k] = alpha.astype(outs[0].dtype)
+        outs[1][k] = c.astype(outs[1].dtype)
+        outs[2][k] = s_new.astype(outs[2].dtype)
+        if ro_spec is not None:
+            outs[3][k] = _apply_readout_fused(
+                ro_spec, ro_refs, jnp.concatenate([s_new, c], axis=-1), dt
+            )
 
 
-def _kernel_loc(k_hyp, pads, vh_ref, h_ref, mask_ref, yin_ref, sprev_ref,
-                aprev_ref,
-                ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
-                wconv, bconv, u_ref,
-                alpha_out, c_out, s_out):
+def _kernel_loc(k_hyp, pads, ro_spec, n_ro, vh_ref, h_ref, mask_ref,
+                yin_ref, sprev_ref, aprev_ref, *rest):
     """Location-aware variant: UF = conv(alpha_prev) @ u per hypothesis
     (Attention.lua:73-99), fused like attention_scan's _loc kernels."""
-    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+    wargs = rest[:9]
+    wconv, bconv, u_ref = rest[9:12]
+    ro_refs, outs = rest[12 : 12 + n_ro], rest[12 + n_ro :]
+    w = _weights_dict(*wargs)
     dt = vh_ref.dtype
     f32 = jnp.float32
     vh = vh_ref[:]
@@ -77,16 +126,21 @@ def _kernel_loc(k_hyp, pads, vh_ref, h_ref, mask_ref, yin_ref, sprev_ref,
             vh, h, mask, yin_ref[k].astype(f32), sprev_ref[k].astype(f32),
             w, dt, uf=uf,
         )
-        alpha_out[k] = alpha.astype(alpha_out.dtype)
-        c_out[k] = c.astype(c_out.dtype)
-        s_out[k] = s_new.astype(s_out.dtype)
+        outs[0][k] = alpha.astype(outs[0].dtype)
+        outs[1][k] = c.astype(outs[1].dtype)
+        outs[2][k] = s_new.astype(outs[2].dtype)
+        if ro_spec is not None:
+            outs[3][k] = _apply_readout_fused(
+                ro_spec, ro_refs, jnp.concatenate([s_new, c], axis=-1), dt
+            )
 
 
 def choose_block(batch: int, k_hyp: int, l: int, s_dim: int, a_dim: int,
-                 dtype=jnp.float32) -> int:
+                 dtype=jnp.float32, fixed_bytes: int = 0) -> int:
     """Largest batch block fitting VMEM: the encoder blocks
     bb*L*(S+A) plus one hypothesis's float32 intermediates
     (z/a: bb*L*S) at a time; K only scales the small (bb, St) tensors.
+    fixed_bytes: block-independent extras (e.g. fused-readout weights).
 
     Mosaic requires the last two dims of every block to be multiples of
     the (sublane, 128) tile OR equal to the array dims — the 2-D mask
@@ -98,7 +152,7 @@ def choose_block(batch: int, k_hyp: int, l: int, s_dim: int, a_dim: int,
     sublane = 16 if dtype == jnp.bfloat16 else 8
     fits = lambda bb: (
         bb * l * (s_dim + a_dim) * itemsize + 3 * bb * l * s_dim * 4
-        <= _VMEM_BUDGET
+        + fixed_bytes <= _VMEM_BUDGET
     )
     for bb in (64, 32, 16, 8):
         if bb % sublane == 0 and batch % bb == 0 and fits(bb):
@@ -123,6 +177,40 @@ def supported(cfg, batch: int, k_hyp: int, l: int, dtype=jnp.float32) -> bool:
     )
 
 
+def readout_fusable(cfg) -> bool:
+    """True when the readout MLP can run inside the step kernel:
+    linear/maxout/relu layers only (dropout is eval-identity). Decode
+    is launch-bound (~25 tiny dispatches/step in the r2 beam); folding
+    the readout + f32 log_softmax into the kernel removes its matmul/
+    max/log_softmax dispatch chain AND the (B,K,St)/(B,K,A) HBM round
+    trip between kernel and readout every while_loop iteration."""
+    return all(
+        spec[0] in ("linear", "maxout", "relu", "dropout")
+        for spec in cfg.readout
+    )
+
+
+def _readout_args(params, cfg):
+    """Restructure readout weights for the in-kernel apply: maxout
+    Linear(in, out*win) splits into (win, in, out) — element (g, j) of
+    the reference's View(out, win) grouping (Maxout.lua:14-19) lives at
+    w[j][:, g] — so the window max is over `win` full-width matmul
+    results instead of a lane-dim regroup Mosaic cannot relayout."""
+    args = []
+    for p, spec in zip(params["readout"], cfg.readout):
+        kind = spec[0]
+        if kind == "linear":
+            args += [p["w"], p["b"][None, :]]
+        elif kind == "maxout":
+            out, win = spec[1], spec[2]
+            w = p["w"].reshape(p["w"].shape[0], out, win)
+            args += [
+                jnp.transpose(w, (2, 0, 1)),  # (win, in, out)
+                p["b"].reshape(out, win).T[:, None, :],  # (win, 1, out)
+            ]
+    return args
+
+
 def fused_attention_step(
     params,
     cfg,
@@ -132,6 +220,7 @@ def fused_attention_step(
     h: jnp.ndarray,
     enc_mask: jnp.ndarray,
     *,
+    with_readout: bool = False,
     interpret: bool = False,
 ):
     """One decoder step over a (B, K) hypothesis grid.
@@ -141,6 +230,11 @@ def fused_attention_step(
     Returns (new_state, {"s": (B,K,St), "c": (B,K,A),
     "alpha": (B,K,L)}). GRU cell: mem passes through untouched
     (model_chorowski_baseline.lua:48-51).
+
+    with_readout=True (requires readout_fusable(cfg)) also applies the
+    readout MLP + f32 log_softmax in-kernel and adds "logp" (B,K,V)
+    float32 to the output dict — the whole decode step becomes ONE
+    kernel launch.
     """
     alpha_prev, s_prev, mem = state
     b, k_hyp, l = alpha_prev.shape
@@ -159,7 +253,14 @@ def fused_attention_step(
     yin_km = km(yin)
     sprev_km = km(s_prev)
 
-    bb = choose_block(b, k_hyp, l, s_dim, a_dim, dt)
+    ro_spec = None
+    ro_args = []
+    ro_bytes = 0
+    if with_readout:
+        ro_spec = tuple(cfg.readout)
+        ro_args = _readout_args(params, cfg)
+        ro_bytes = sum(int(a.size) * a.dtype.itemsize for a in ro_args)
+    bb = choose_block(b, k_hyp, l, s_dim, a_dim, dt, fixed_bytes=ro_bytes)
     assert bb > 0, "caller must gate on supported()"
     nb = b // bb
     c2 = lambda i: (0, 0)
@@ -180,13 +281,19 @@ def fused_attention_step(
     w_specs = [
         pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM) for wgt in wargs
     ]
+    zmap = lambda r: lambda i: (0,) * r  # rank-matched constant index map
+    ro_specs = [
+        pl.BlockSpec(a.shape, zmap(a.ndim), memory_space=pltpu.VMEM)
+        for a in ro_args
+    ]
     args = [vh, h, enc_mask, yin_km, sprev_km]
     if cfg.feature_maps > 0:
         lc = dec["loc_conv"]
         wconv = lc["w"][:, 0, :]
         loc_args = [wconv, lc["b"][None, :], dec["u"]]
         kernel = functools.partial(
-            _kernel_loc, k_hyp, _conv_pads(cfg.filt_size)
+            _kernel_loc, k_hyp, _conv_pads(cfg.filt_size), ro_spec,
+            len(ro_args),
         )
         in_specs = (
             enc_spec
@@ -195,27 +302,38 @@ def fused_attention_step(
             + w_specs
             + [pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
                for wgt in loc_args]
+            + ro_specs
         )
-        args = args + [km(alpha_prev)] + wargs + loc_args
+        args = args + [km(alpha_prev)] + wargs + loc_args + ro_args
     else:
-        kernel = functools.partial(_kernel, k_hyp)
-        in_specs = enc_spec + w_specs
-        args = args + wargs
+        kernel = functools.partial(_kernel, k_hyp, ro_spec, len(ro_args))
+        in_specs = enc_spec + w_specs + ro_specs
+        args = args + wargs + ro_args
 
-    alpha_km, c_km, s_km = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((k_hyp, bb, l), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_hyp, bb, a_dim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_hyp, bb, st), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((k_hyp, b, l), dt),
+        jax.ShapeDtypeStruct((k_hyp, b, a_dim), dt),
+        jax.ShapeDtypeStruct((k_hyp, b, st), dt),
+    ]
+    if with_readout:
+        v_out = cfg.output_depth
+        out_specs.append(
+            pl.BlockSpec((k_hyp, bb, v_out), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((k_hyp, b, v_out), jnp.float32))
+
+    res = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((k_hyp, bb, l), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_hyp, bb, a_dim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_hyp, bb, st), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((k_hyp, b, l), dt),
-            jax.ShapeDtypeStruct((k_hyp, b, a_dim), dt),
-            jax.ShapeDtypeStruct((k_hyp, b, st), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -226,6 +344,8 @@ def fused_attention_step(
             transcendentals=b * k_hyp * l * s_dim,
         ),
     )(*args)
-    alpha = km(alpha_km)
-    out = {"s": km(s_km), "c": km(c_km), "alpha": alpha}
+    alpha = km(res[0])
+    out = {"s": km(res[2]), "c": km(res[1]), "alpha": alpha}
+    if with_readout:
+        out["logp"] = km(res[3])
     return (alpha, out["s"], mem), out

@@ -355,10 +355,13 @@ def test_fused_attention_step_matches_xla():
     from seq2seq_attention_asr_tpu.ops.pallas import attention_step as fused
 
     for fm in (0, 3):
+        # flagship-shaped readout so the fused in-kernel readout path
+        # (maxout window max + linear + f32 log_softmax) is exercised
         cfg = att.AttentionConfig(
             score_depth=16, filt_size=5, feature_maps=fm, state_depth=16,
             annotation_depth=24, output_depth=6, cell="gru",
-            mono_align=False, penalty_lambda=0.0, readout=(("linear", 6),),
+            mono_align=False, penalty_lambda=0.0,
+            readout=(("dropout", 0.5), ("maxout", 8, 3), ("linear", 6)),
         )
         params = att.attention_init(jax.random.PRNGKey(fm), cfg)
         b, k, l = 4, 3, 16
@@ -377,7 +380,8 @@ def test_fused_attention_step_matches_xla():
             dtype=h.dtype,
         )
         got_state, got = fused.fused_attention_step(
-            params, cfg, (alpha0, s0, mem0), y, vh, h, mask, interpret=True
+            params, cfg, (alpha0, s0, mem0), y, vh, h, mask,
+            with_readout=True, interpret=True,
         )
         # reference: flattened XLA step
         flat = lambda a: a.reshape((b * k,) + a.shape[2:])
@@ -399,6 +403,12 @@ def test_fused_attention_step_matches_xla():
                 np.asarray(want[key]), rtol=2e-5, atol=2e-6,
                 err_msg=f"feature_maps={fm} {key}",
             )
+        want_logp = att.apply_readout(params, cfg, want["s"], want["c"])
+        np.testing.assert_allclose(
+            np.asarray(got["logp"]).reshape(want_logp.shape),
+            np.asarray(want_logp), rtol=2e-5, atol=2e-6,
+            err_msg=f"feature_maps={fm} logp",
+        )
 
 
 def test_beam_search_pallas_backend_matches_xla():

@@ -15,12 +15,22 @@ Two corpus modes:
   default:       40 phones, short utterances (fast CI-scale runs)
   --timit-shape: the standard 61-phone(+<EOS>) TIMIT vocabulary with
                  61->39-fold scoring, TIMIT-like utterance shapes
-                 (~25-50 phones x 2-5 frames), and the FULL flagship
+                 (8-50 phones x 2-5 frames), and the FULL flagship
                  recipe — AdaptiveWeightNoise (lambda = 1/N_train,
                  AdaptiveWeightNoise.lua:18) + dropout 0.5
                  (model_chorowski_baseline_dropout.lua:56) + colnorm —
                  the long-run AWN-stability evidence VERDICT r2 asked
                  for. Defaults sized to ~TIMIT: 4000 train utterances.
+
+                 Runs as a 3-stage length curriculum (measured: the
+                 attention alignment cannot bootstrap from scratch on
+                 long utterances — an all-(25-50)-phone corpus leaves
+                 NLL at the unigram plateau for 20k+ steps):
+                   1 bootstrap: the <=17-token subset, dropout only
+                   2 full:      whole corpus, dropout only
+                   3 awn:       whole corpus, AWN + dropout — the
+                                hundreds-of-epochs stability evidence
+                                with the colnorm-on-mu interaction
 
 Writes one JSON with the full per-epoch trajectory; committed runs live
 in runs/ (e.g. runs/convergence_tpu.json). With --save-dir the Trainer
@@ -64,6 +74,8 @@ def main():
         "--timit-shape", action="store_true",
         help="61-phone TIMIT-shaped corpus + full recipe (AWN + dropout)",
     )
+    ap.add_argument("--stage-epochs", default=None,
+                    help="timit-shape stage lengths 'boot,full,awn'")
     ap.add_argument("--save-dir", default=None,
                     help="Trainer checkpoint dir (+ best-PER eval export)")
     ap.add_argument("--compute-dtype", default=None,
@@ -74,6 +86,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.timit_shape:
+        run_timit_shape(args)
+        return
+
     import jax
 
     from seq2seq_attention_asr_tpu.data import batching, synthetic
@@ -81,123 +98,223 @@ def main():
     from seq2seq_attention_asr_tpu.train import optim as optim_lib
     from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
 
-    n_train = args.train_utts or (4000 if args.timit_shape else 200)
-    n_valid = args.valid_utts or (192 if args.timit_shape else 40)
-    epochs = args.epochs or (150 if args.timit_shape else 40)
-    batch = args.batch_size or (32 if args.timit_shape else 16)
+    n_train = args.train_utts or 200
+    n_valid = args.valid_utts or 40
+    epochs = args.epochs or 40
+    batch = args.batch_size or 16
 
-    vocab = None
-    if args.timit_shape:
-        train, valid, vocab = synthetic.timit_shaped(
-            n_train, n_valid, noise=args.noise, seed=args.seed
-        )
-        v = vocab.size
-        corpus_desc = {
-            "kind": "timit_shaped", "train_utts": n_train,
-            "valid_utts": n_valid, "n_phones": 61, "feat_dim": 123,
-            "scoring": "61->39 Kaldi fold, beam K=5 (timit.lua:397-415)",
-        }
-    else:
-        train, valid, v = synthetic.train_valid(
-            n_train, n_valid, n_phones=args.n_phones,
-            feat_dim=123, min_len=6, max_len=16, frames_per_phone=(4, 9),
-            noise=args.noise, seed=args.seed,
-        )
-        corpus_desc = {
-            "kind": "synthetic", "train_utts": n_train,
-            "valid_utts": n_valid, "n_phones": args.n_phones,
-            "feat_dim": 123,
-        }
-
-    dims = (
-        dict(hidden_frame_size=64, output_frame_size=64, score_depth=128,
-             state_depth=64, mlp_depth=32)
-        if args.small
-        else dict(hidden_frame_size=256, output_frame_size=256,
-                  score_depth=512, state_depth=256, mlp_depth=64)
+    train, valid, v = synthetic.train_valid(
+        n_train, n_valid, n_phones=args.n_phones,
+        feat_dim=123, min_len=6, max_len=16, frames_per_phone=(4, 9),
+        noise=args.noise, seed=args.seed,
     )
+    corpus_desc = {
+        "kind": "synthetic", "train_utts": n_train,
+        "valid_utts": n_valid, "n_phones": args.n_phones,
+        "feat_dim": 123,
+    }
+
+    dims = _dims(args.small)
     # canonical recipe: content+state attention (featureMaps 0), GRU
     # decoder, maxout readout, adadelta(0.95, 1e-8), normalized NLL,
     # column-norm constraint (exp_logmel7_chorowski_normNLL_colnorm.lua)
-    model_name = "chorowski_dropout" if args.timit_shape else "chorowski"
-    mk = dict(input_frame_size=123, output_depth=v, feature_maps=0,
-              filt_size=10, **dims)
-    if args.compute_dtype:
-        mk["compute_dtype"] = args.compute_dtype
-    model = registry.build(model_name, **mk)
-    tk = dict(
+    model = registry.build(
+        "chorowski", input_frame_size=123, output_depth=v,
+        feature_maps=0, filt_size=10, **dims,
+    )
+    tcfg = trainer_lib.TrainConfig(
         num_epochs=epochs, batch_size=batch,
         normalize_nll=True, beam_k=5, seed=args.seed,
     )
-    if args.timit_shape:
-        # AdaptiveWeightNoise over the whole run: lambda ~= 1/N_train
-        # (Graves 2011; AdaptiveWeightNoise.lua:18 "equals 1/B"),
-        # sigma_init 0.075 (timit.lua:196-205 wiring)
-        tk.update(noise="awn", awn_lambda=1.0 / n_train,
-                  awn_sigma_init=0.075)
-    tcfg = trainer_lib.TrainConfig(**tk)
-    # column-norm projection to maxval 1.0 — the reference's
-    # columnNormConstraint default (TrainUtils.lua:52-53)
-    ocfg = optim_lib.OptimConfig(
-        rho=0.95, eps=1e-8, colnorm=True, colnorm_maxval=1.0, maxnorm=1e20
-    )
     tr = trainer_lib.Trainer(
-        model, ocfg, tcfg, vocab=vocab, save_dir=args.save_dir
+        model, _ocfg(), tcfg, save_dir=args.save_dir
     )
-    tr.init(model.init(jax.random.PRNGKey(args.seed)))
-    batcher = batching.BucketedBatcher.from_dataset(
-        train, batch, n_buckets=4
-    )
+    import jax as _jax
 
-    backend = jax.default_backend()
+    tr.init(model.init(_jax.random.PRNGKey(args.seed)))
+    batcher = batching.BucketedBatcher.from_dataset(train, batch, n_buckets=4)
+
+    meta = {
+        "backend": jax.default_backend(),
+        "model": {"name": "chorowski", **dims, "output_depth": v},
+        "corpus": corpus_desc,
+        "recipe": "adadelta(0.95,1e-8) normalizeNLL beam_k=5 (canonical)",
+    }
+    print(f"backend={meta['backend']} model={meta['model']}", flush=True)
     rows = []
     t0 = time.time()
-    meta = {
-        "backend": backend,
-        "model": {"name": model_name, **dims, "output_depth": v,
-                  **({"compute_dtype": args.compute_dtype}
-                     if args.compute_dtype else {})},
-        "corpus": corpus_desc,
-        "recipe": (
-            "adadelta(0.95,1e-8) normalizeNLL colnorm1.0 beam_k=5"
-            + (" AWN(lambda=1/N,sigma0=0.075) dropout0.5"
-               if args.timit_shape else " (canonical)")
-        ),
-    }
-    print(f"backend={backend} model={meta['model']}", flush=True)
-    for row in tr.fit(train, valid, batcher, decode_every=args.decode_every):
+    _fit_logged(tr, train, valid, batcher, args.decode_every, rows, t0,
+                meta, args.out)
+    _summary(rows, t0)
+    _export_best(args.save_dir, tr, tcfg)
+
+
+def _dims(small: bool):
+    return (
+        dict(hidden_frame_size=64, output_frame_size=64, score_depth=128,
+             state_depth=64, mlp_depth=32)
+        if small
+        else dict(hidden_frame_size=256, output_frame_size=256,
+                  score_depth=512, state_depth=256, mlp_depth=64)
+    )
+
+
+def _ocfg():
+    """Column-norm projection to maxval 1.0 — the reference's
+    columnNormConstraint default (TrainUtils.lua:52-53)."""
+    from seq2seq_attention_asr_tpu.train import optim as optim_lib
+
+    return optim_lib.OptimConfig(
+        rho=0.95, eps=1e-8, colnorm=True, colnorm_maxval=1.0, maxnorm=1e20
+    )
+
+
+def _fit_logged(tr, train, valid, batcher, decode_every, rows, t0, meta,
+                out, stage=None):
+    import json as _json
+
+    for row in tr.fit(train, valid, batcher, decode_every=decode_every):
         row["wall_s"] = time.time() - t0
-        rows.append({k: v for k, v in row.items()})
+        if stage:
+            row["stage"] = stage
+        rows.append(dict(row))
         msg = (
-            f"ep {row['epoch']:3d} nll {row['train_nll']:.3f} "
+            f"{stage or 'ep'} ep {row['epoch']:3d} nll {row['train_nll']:.3f} "
             f"acc {row['train_accuracy']:.3f}"
         )
         if "valid_per" in row:
             msg += f" valid_per {row['valid_per']:.4f}"
         print(msg + f" ({row['wall_s']:.0f}s)", flush=True)
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump({"meta": meta, "trajectory": rows}, f, indent=1)
-    pers = [r["valid_per"] for r in rows if "valid_per" in r]
-    print(
-        f"final valid PER {pers[-1]:.4f} (best {min(pers):.4f}) "
-        f"over {len(rows)} epochs, {time.time()-t0:.0f}s",
-        flush=True,
-    )
-    if args.save_dir:
-        # export the best-PER EVAL params (AWN mode() = mu) as a plain
-        # model-params pytree for bench.py's trained-decode section
-        from seq2seq_attention_asr_tpu.train import checkpoint
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            _json.dump({"meta": meta, "trajectory": rows}, f, indent=1)
 
-        like = {"state": tr.state, "epoch": 0, "best": dict(tr.best)}
-        path = tr._ckpt_path("best_valid_PER")
-        src = path if checkpoint.exists(path) else tr._ckpt_path("latest")
-        blob = checkpoint.load(src, like=like)
-        eval_params = trainer_lib.eval_params(tcfg, blob["state"][0])
-        checkpoint.save(
-            os.path.join(args.save_dir, "ckpt_best_eval"), eval_params
+
+def _summary(rows, t0):
+    pers = [r["valid_per"] for r in rows if "valid_per" in r]
+    if pers:
+        print(
+            f"final valid PER {pers[-1]:.4f} (best {min(pers):.4f}) "
+            f"over {len(rows)} epochs, {time.time()-t0:.0f}s",
+            flush=True,
         )
-        print(f"exported best eval params from {src}", flush=True)
+
+
+def _export_best(save_dir, tr, tcfg):
+    """Export the best-PER EVAL params (AWN mode() = mu) as a plain
+    model-params pytree for bench.py's trained-decode section."""
+    if not save_dir:
+        return
+    from seq2seq_attention_asr_tpu.train import checkpoint
+    from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
+
+    like = {"state": tr.state, "epoch": 0, "best": dict(tr.best)}
+    path = tr._ckpt_path("best_valid_PER")
+    src = path if checkpoint.exists(path) else tr._ckpt_path("latest")
+    blob = checkpoint.load(src, like=like)
+    eval_params = trainer_lib.eval_params(tcfg, blob["state"][0])
+    checkpoint.save(os.path.join(save_dir, "ckpt_best_eval"), eval_params)
+    print(f"exported best eval params from {src}", flush=True)
+
+
+def run_timit_shape(args):
+    """3-stage length-curriculum run of the full flagship recipe (see
+    module docstring)."""
+    import dataclasses
+
+    import jax
+
+    from seq2seq_attention_asr_tpu.data import batching, synthetic
+    from seq2seq_attention_asr_tpu.models import registry
+    from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
+
+    n_train = args.train_utts or 4000
+    n_valid = args.valid_utts or 192
+    batch = args.batch_size or 32
+    stages = [int(s) for s in (args.stage_epochs or "400,200,300").split(",")]
+
+    train, valid, vocab = synthetic.timit_shaped(
+        n_train, n_valid, noise=args.noise, seed=args.seed
+    )
+    v = vocab.size
+    short_idx = [i for i in range(len(train)) if len(train.y[i]) <= 17]
+    boot = dataclasses.replace(
+        train,
+        uids=[train.uids[i] for i in short_idx],
+        x=[train.x[i] for i in short_idx],
+        y=[train.y[i] for i in short_idx],
+        y39=[train.y39[i] for i in short_idx],
+        start=[train.start[i] for i in short_idx],
+        finish=[train.finish[i] for i in short_idx],
+    )
+
+    dims = _dims(args.small)
+    mk = dict(input_frame_size=123, output_depth=v, feature_maps=0,
+              filt_size=10, dropout=0.5, **dims)
+    if args.compute_dtype:
+        mk["compute_dtype"] = args.compute_dtype
+    model = registry.build("chorowski_dropout", **mk)
+
+    meta = {
+        "backend": jax.default_backend(),
+        "model": {"name": "chorowski_dropout", **dims, "output_depth": v},
+        "corpus": {
+            "kind": "timit_shaped", "train_utts": n_train,
+            "valid_utts": n_valid, "n_phones": 61, "feat_dim": 123,
+            "bootstrap_utts": len(boot),
+            "scoring": "61->39 Kaldi fold, beam K=5 (timit.lua:397-415)",
+        },
+        "recipe": (
+            "adadelta(0.95,1e-8) normalizeNLL colnorm1.0 dropout0.5 "
+            f"beam_k=5; stage3 AWN(lambda=1/{n_train},sigma0=0.075); "
+            f"length curriculum {stages}"
+        ),
+    }
+    print(f"backend={meta['backend']} model={meta['model']} "
+          f"boot={len(boot)} utts", flush=True)
+    rows = []
+    t0 = time.time()
+    sd = lambda tag: (os.path.join(args.save_dir, tag)
+                      if args.save_dir else None)
+
+    tcfg = trainer_lib.TrainConfig(
+        num_epochs=stages[0], batch_size=batch, normalize_nll=True,
+        beam_k=5, seed=args.seed,
+    )
+    tr = trainer_lib.Trainer(model, _ocfg(), tcfg, vocab=vocab,
+                             save_dir=sd("boot"))
+    tr.init(model.init(jax.random.PRNGKey(args.seed)))
+    boot_batcher = batching.BucketedBatcher.from_dataset(
+        boot, batch, n_buckets=2
+    )
+    full_batcher = batching.BucketedBatcher.from_dataset(
+        train, batch, n_buckets=3
+    )
+    _fit_logged(tr, boot, valid, boot_batcher,
+                max(args.decode_every * 5, 20), rows, t0, meta, args.out,
+                stage="boot")
+
+    # stage 2: same trainer/params, whole corpus
+    tr.save_dir = sd("full") or tr.save_dir
+    tr.tcfg = dataclasses.replace(tr.tcfg, num_epochs=stages[0] + stages[1])
+    _fit_logged(tr, train, valid, full_batcher, args.decode_every,
+                rows, t0, meta, args.out, stage="full")
+
+    # stage 3: AdaptiveWeightNoise on (lambda ~= 1/N_train, Graves 2011;
+    # AdaptiveWeightNoise.lua:18 "equals 1/B"), dropout still active —
+    # the hundreds-of-epochs stability evidence with colnorm-on-mu
+    tcfg3 = trainer_lib.TrainConfig(
+        num_epochs=stages[2], batch_size=batch, normalize_nll=True,
+        beam_k=5, seed=args.seed + 1, noise="awn",
+        awn_lambda=1.0 / n_train, awn_sigma_init=0.075,
+    )
+    tr3 = trainer_lib.Trainer(model, _ocfg(), tcfg3, vocab=vocab,
+                              save_dir=sd("awn"))
+    tr3.init(trainer_lib.eval_params(tr.tcfg, tr.state[0]))
+    _fit_logged(tr3, train, valid, full_batcher, args.decode_every,
+                rows, t0, meta, args.out, stage="awn")
+    _summary(rows, t0)
+    _export_best(args.save_dir and sd("awn"), tr3, tcfg3)
 
 
 if __name__ == "__main__":
