@@ -3,16 +3,27 @@
 Prints ONE JSON line whose primary metric is training throughput:
   {"metric": "train_audio_s_per_s_per_chip", "value": N,
    "unit": "audio-s/s/chip", "vs_baseline": N, ...}
-extra keys (VERDICT r1 items #4/#10):
+extra keys (VERDICT r1 items #4/#10, r2 #6):
   mfu                      — model FLOPs utilization of the train step
                              (analytic matmul-FLOPs model / chip peak)
   realistic_mix_audio_s_per_s — bucketed variable-length batches
                              (padding waste included, real audio-s)
   decode_audio_s_per_s     — beam-search (K=5) decode throughput via
                              the fused single-step attention kernel
+                             (untrained weights: every beam runs to
+                             max_steps — the worst case)
   decode_rtf_per_stream    — per-utterance real-time factor (aggregate
                              decode throughput / batch size; >1 means
                              each stream decodes faster than real time)
+  decode_trained_audio_s_per_s — decode at the TRAINED operating point
+                             (runs/timit_shape_ckpt best-PER params on
+                             its own held-out utterances: eos fires,
+                             beams terminate early) + the mean decoded
+                             fraction of the step budget as
+                             decode_trained_len_frac
+  serve_p50_latency_ms_b{1,8,128} — end-to-end serving latency (PCM ->
+                             logmel -> encoder -> beam -> tokens, one
+                             jit) per transcribe() call at that batch
 
 Metric: seconds of audio processed per wall-clock second per chip while
 running full training steps (forward + BPTT + adadelta update) on the
@@ -220,21 +231,97 @@ def main():
     ddt = time.perf_counter() - t0
     decode_value = audio_s_per_batch * n_dec / ddt
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_audio_s_per_s_per_chip",
-                "value": round(value, 2),
-                "unit": "audio-s/s/chip",
-                "vs_baseline": round(value / 1.0, 2),
-                "mfu": round(mfu, 4),
-                "tpu_gen": gen,
-                "realistic_mix_audio_s_per_s": round(mix_value, 2),
-                "decode_audio_s_per_s": round(decode_value, 2),
-                "decode_rtf_per_stream": round(decode_value / b, 2),
-            }
-        )
+    # --- decode at the TRAINED operating point (r2 Weak #5 fix) ------
+    # best-PER checkpoint from the committed TIMIT-shaped convergence
+    # run, decoding ITS OWN held-out utterances: eos fires and beams
+    # terminate early, so this is the representative RTF.
+    trained_value = trained_frac = None
+    ckpt = os.environ.get(
+        "BENCH_CKPT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "runs", "timit_shape_ckpt", "awn", "ckpt_best_eval"),
     )
+    from seq2seq_attention_asr_tpu.train import checkpoint as ckpt_lib
+
+    if ckpt_lib.exists(ckpt):
+        from seq2seq_attention_asr_tpu.data import synthetic
+
+        model_t = registry.build(
+            "chorowski_dropout", dropout=0.5,
+            input_frame_size=dims["input"],
+            hidden_frame_size=dims["hidden"],
+            output_frame_size=dims["out_frame"],
+            score_depth=dims["score"], state_depth=dims["state"],
+            mlp_depth=dims["mlp"], output_depth=dims["vocab"],
+            feature_maps=0, filt_size=10, scan_unroll=8,
+            compute_dtype="bfloat16",
+        )
+        tparams = ckpt_lib.load(ckpt, like=model_t.init(jax.random.PRNGKey(0)))
+        _, valid, _ = synthetic.timit_shaped(1, 192, seed=1)
+        keep = [i for i in range(len(valid)) if len(valid.x[i]) <= l]
+        idx = (keep * (b // len(keep) + 1))[:b]
+        xt = np.zeros((b, l, 123), np.float32)
+        lt = np.zeros((b,), np.int32)
+        for j, i in enumerate(idx):
+            xi = valid.x[i]
+            xt[j, : len(xi)] = xi
+            lt[j] = len(xi)
+        xt, lt = jnp.asarray(xt), jnp.asarray(lt)
+        tdecode = jax.jit(
+            trainer_lib.make_decode_step(
+                model_t.encode, model_t.attention_cfg, beam_k=5,
+                compute_dtype="bfloat16",
+            ),
+            static_argnames=("max_steps_cap",),
+        )
+        res = tdecode(tparams, xt, lt, eos, max_steps_cap=l)
+        int(np.asarray(res.lengths)[0])
+        t0 = time.perf_counter()
+        for _ in range(n_dec):
+            res = tdecode(tparams, xt, lt, eos, max_steps_cap=l)
+        lens_out = np.asarray(res.lengths)
+        tdt = time.perf_counter() - t0
+        trained_value = float(lt.sum()) * HOP / SR * n_dec / tdt
+        trained_frac = float(np.mean(lens_out / np.asarray(lt)))
+
+    # --- serving latency: PCM -> text p50 per batch size -------------
+    from seq2seq_attention_asr_tpu import serve
+
+    latency = {}
+    tr_serve = serve.Transcriber(
+        model, dec_params, eos_id=61, pad_frames=10, beam_k=5,
+        frontend="pallas", exact=False, frame_bucket=16,
+    )
+    rng2 = np.random.RandomState(1)
+    for bsize in (1, 8, 128):
+        pcms = [rng2.randn(int(16000 * 3.5)).astype(np.float32) * 0.1
+                for _ in range(bsize)]
+        tr_serve.transcribe(pcms)  # compile
+        times = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            tr_serve.transcribe(pcms)
+            times.append((time.perf_counter() - t0) * 1e3)
+        latency[f"serve_p50_latency_ms_b{bsize}"] = round(
+            float(np.median(times)), 2
+        )
+
+    out = {
+        "metric": "train_audio_s_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / 1.0, 2),
+        "mfu": round(mfu, 4),
+        "tpu_gen": gen,
+        "realistic_mix_audio_s_per_s": round(mix_value, 2),
+        "decode_audio_s_per_s": round(decode_value, 2),
+        "decode_rtf_per_stream": round(decode_value / b, 2),
+    }
+    if trained_value is not None:
+        out["decode_trained_audio_s_per_s"] = round(trained_value, 2)
+        out["decode_trained_len_frac"] = round(trained_frac, 4)
+    out.update(latency)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
