@@ -165,6 +165,62 @@ class BucketedBatcher:
         )
 
 
+class CachedDeviceBatcher:
+    """Device-resident batches with per-epoch ORDER shuffling.
+
+    Builds every batch once (one shuffle fixes the batch membership),
+    transfers them to device once, and each epoch yields them in a
+    freshly shuffled order. Steady-state host->device traffic is zero —
+    the right trade on hosts whose device link is slow relative to the
+    step (e.g. a tunneled chip: a 1.3 MB batch can cost 40x the step
+    itself in transfer). The SGD cost is that within-batch composition
+    is fixed across epochs (batch ORDER still reshuffles); bucketed
+    batches are like-length groups anyway, so the composition freedom
+    given up is small. Drop-in for BucketedBatcher in Trainer.fit.
+    """
+
+    def __init__(self, base: "BucketedBatcher", seed: int = 0):
+        self._base = base
+        self._seed = seed
+        self._caches: dict = {}  # id(ds) -> (ds ref, [DeviceBatch])
+
+    def _cache_for(self, ds):
+        key = id(ds)
+        hit = self._caches.get(key)
+        if hit is not None:
+            return hit[1]
+        import jax
+
+        cache = []
+        for b in self._base.batches(ds, shuffle=True, seed=self._seed):
+            cache.append(DeviceBatch(
+                x=jax.device_put(b.x),
+                x_len=jax.device_put(b.x_len),
+                y=jax.device_put(b.y),
+                dec_mask=jax.device_put(b.dec_mask),
+                y_len=b.y_len,
+                y39=b.y39,
+                uids=b.uids,
+            ))
+        self._caches[key] = (ds, cache)  # hold ds so id() stays unique
+        return cache
+
+    def batches(self, ds, shuffle: bool = False, seed: int = 0,
+                drop_remainder: bool = False,
+                max_samples: Optional[int] = None):
+        cache = self._cache_for(ds)
+        order = np.arange(len(cache))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        n = 0
+        for i in order:
+            b = cache[i]
+            if max_samples and n >= max_samples:
+                return
+            n += len(b.uids)
+            yield b
+
+
 @dataclasses.dataclass
 class DeviceBatch:
     """A Batch whose step inputs already live on device.

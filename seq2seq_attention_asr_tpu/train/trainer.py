@@ -462,22 +462,34 @@ class Trainer:
         to match; eos (the per-utterance final target token,
         timit.lua:398) is None unless with_eos.
         """
+        y_len = np.asarray(batch.y_len)
+        if self.mesh is None:
+            # NO np.asarray here: the Prefetcher's feeder thread already
+            # put these on device (DeviceBatch) — a host round trip
+            # would re-cross the (slow) host<->device link twice per
+            # step and serialize the pipeline on it.
+            arrs = (
+                jnp.asarray(batch.x),
+                jnp.asarray(batch.x_len),
+                jnp.asarray(batch.y),
+                jnp.asarray(batch.dec_mask),
+            )
+            n = arrs[0].shape[0]
+            eos = None
+            if with_eos:
+                # eos = final target token (timit.lua:398)
+                eos = arrs[2][jnp.arange(n), jnp.asarray(y_len) - 1]
+            return arrs, n, y_len, eos
         arrs = (
             np.asarray(batch.x),
             np.asarray(batch.x_len),
             np.asarray(batch.y),
             np.asarray(batch.dec_mask),
         )
-        y_len = np.asarray(batch.y_len)
         n = arrs[0].shape[0]
         eos = None
         if with_eos:
             eos = arrs[2][np.arange(n), y_len - 1].astype(np.int32)
-        if self.mesh is None:
-            return (
-                tuple(jnp.asarray(a) for a in arrs), n, y_len,
-                None if eos is None else jnp.asarray(eos),
-            )
         dp = self.mesh.shape["dp"] // self.n_proc or 1
         b_pad = -(-n // dp) * dp
         if b_pad != n:

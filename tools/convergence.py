@@ -284,11 +284,16 @@ def run_timit_shape(args):
     tr = trainer_lib.Trainer(model, _ocfg(), tcfg, vocab=vocab,
                              save_dir=sd("boot"))
     tr.init(model.init(jax.random.PRNGKey(args.seed)))
-    boot_batcher = batching.BucketedBatcher.from_dataset(
-        boot, batch, n_buckets=2
+    # device-resident batches: over the tunneled chip a per-step batch
+    # transfer costs ~40x the step itself, so batches are staged on
+    # device once and only their ORDER reshuffles per epoch
+    boot_batcher = batching.CachedDeviceBatcher(
+        batching.BucketedBatcher.from_dataset(boot, batch, n_buckets=2),
+        seed=args.seed,
     )
-    full_batcher = batching.BucketedBatcher.from_dataset(
-        train, batch, n_buckets=3
+    full_batcher = batching.CachedDeviceBatcher(
+        batching.BucketedBatcher.from_dataset(train, batch, n_buckets=3),
+        seed=args.seed,
     )
     _fit_logged(tr, boot, valid, boot_batcher,
                 max(args.decode_every * 5, 20), rows, t0, meta, args.out,
