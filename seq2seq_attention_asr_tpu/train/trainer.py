@@ -794,12 +794,17 @@ class Trainer:
 
     def fit(self, train_ds, valid_ds, batcher, *, resume: bool = False,
             decode_every: int = 1, on_nan: str = "raise",
-            max_nan_restores: int = 3, chunked=None):
+            max_nan_restores: int = 3, chunked=None, ckpt_every: int = 1):
         """Epoch loop. on_nan: "raise" aborts on the NaN tripwire
         (reference behavior — a crash kills the run); "restore" rolls
         back to the last checkpoint with a reshuffled epoch seed and
         continues, up to `max_nan_restores` times — the elastic-recovery
         capability the reference lacks (SURVEY.md §5).
+
+        ckpt_every: epochs between "latest" checkpoint writes (the
+        reference saves every epoch, timit.lua:551 — keep 1 for parity;
+        raise it when the save itself is a meaningful fraction of an
+        epoch). Best-metric checkpoints always save.
 
         chunked: optional (load_chunk, n_chunks, batcher_fn) triple for
         out-of-core training (one chunk resident at a time,
@@ -851,7 +856,10 @@ class Trainer:
             row.update(self.evaluate(valid_ds, batcher, decode=do_decode))
             self.epoch = epoch
             self.log.append(row)
-            self.save_checkpoint("latest")
+            if ckpt_every > 0 and (
+                epoch % ckpt_every == 0 or epoch >= self.tcfg.num_epochs
+            ):
+                self.save_checkpoint("latest")
             if row["valid_accuracy"] > self.best["valid_accuracy"]:
                 self.best["valid_accuracy"] = row["valid_accuracy"]
                 self.save_checkpoint("best_valid_accuracy")

@@ -173,7 +173,8 @@ def _fit_logged(tr, train, valid, batcher, decode_every, rows, t0, meta,
                 out, stage=None):
     import json as _json
 
-    for row in tr.fit(train, valid, batcher, decode_every=decode_every):
+    for row in tr.fit(train, valid, batcher, decode_every=decode_every,
+                      ckpt_every=25):
         row["wall_s"] = time.time() - t0
         if stage:
             row["stage"] = stage
