@@ -242,6 +242,35 @@ def test_prefetcher_preserves_batches_and_order():
         next(it)
 
 
+def test_cached_device_batcher_semantics():
+    """CachedDeviceBatcher: one transfer per batch ever, per-dataset
+    caches, order-only reshuffle covering every batch each epoch."""
+    from seq2seq_attention_asr_tpu.data import batching, synthetic
+
+    ds, _, _ = synthetic.make_corpus(
+        20, n_phones=4, feat_dim=5, min_len=2, max_len=4, seed=0
+    )
+    ds2, _, _ = synthetic.make_corpus(
+        6, n_phones=4, feat_dim=5, min_len=2, max_len=4, seed=3
+    )
+    base = batching.BucketedBatcher(l_buckets=[32], batch_size=8)
+    cb = batching.CachedDeviceBatcher(base, seed=1)
+
+    e1 = list(cb.batches(ds, shuffle=True, seed=10))
+    e2 = list(cb.batches(ds, shuffle=True, seed=11))
+    assert len(e1) == len(e2) == 3  # 20 utts / 8 -> 2 full + ragged
+    # same DeviceBatch objects, possibly different order, full coverage
+    assert {id(b) for b in e1} == {id(b) for b in e2}
+    assert sorted(u for b in e1 for u in b.uids) == sorted(ds.uids)
+    # inputs live on device already (no per-epoch np arrays)
+    import jax
+
+    assert isinstance(e1[0].x, jax.Array)
+    # a different dataset gets its own cache
+    o = list(cb.batches(ds2))
+    assert sorted(u for b in o for u in b.uids) == sorted(ds2.uids)
+
+
 def test_cqt_exact_tone_response():
     """cqt_exact_np is a true constant-Q transform: a pure tone at bin
     k's center frequency peaks at bin k with ~0.5 magnitude (unit-L1
