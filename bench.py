@@ -88,6 +88,12 @@ def model_flops_per_sample(l: int, t: int, cfg) -> float:
 
 
 def main():
+    if os.environ.get("BENCH_CPU"):
+        # validation escape hatch: the axon plugin overrides
+        # JAX_PLATFORMS, so forcing CPU must happen pre-init
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -151,7 +157,8 @@ def main():
     # so a value read is the only trustworthy sync — but reading it
     # EVERY step would add a host<->device round trip per step that is
     # not part of device throughput.)
-    n_steps = 100
+    cheap = bool(os.environ.get("BENCH_CPU"))
+    n_steps = 4 if cheap else 100
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step_jit(state, batch)
@@ -201,7 +208,7 @@ def main():
     for db in dev_batches:  # compile warmup per bucket shape
         state, m = step_jit(state, db)
     float(m["loss"])
-    reps = 5
+    reps = 1 if cheap else 5
     t0 = time.perf_counter()
     for _ in range(reps):
         for db in dev_batches:
@@ -223,7 +230,7 @@ def main():
     eos = jnp.asarray(np.full(b, 61, np.int32))
     res = decode_fn(dec_params, x, x_len, eos, max_steps_cap=l)
     int(np.asarray(res.lengths)[0])
-    n_dec = 10
+    n_dec = 2 if cheap else 10
     t0 = time.perf_counter()
     for _ in range(n_dec):
         res = decode_fn(dec_params, x, x_len, eos, max_steps_cap=l)
@@ -298,7 +305,7 @@ def main():
                 for _ in range(bsize)]
         tr_serve.transcribe(pcms)  # compile
         times = []
-        for _ in range(7):
+        for _ in range(2 if cheap else 7):
             t0 = time.perf_counter()
             tr_serve.transcribe(pcms)
             times.append((time.perf_counter() - t0) * 1e3)

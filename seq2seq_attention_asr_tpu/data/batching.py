@@ -179,9 +179,11 @@ class CachedDeviceBatcher:
     given up is small. Drop-in for BucketedBatcher in Trainer.fit.
     """
 
-    def __init__(self, base: "BucketedBatcher", seed: int = 0):
+    def __init__(self, base: "BucketedBatcher", seed: int = 0,
+                 synth: Optional["DeviceSynth"] = None):
         self._base = base
         self._seed = seed
+        self._synth = synth
         self._caches: dict = {}  # id(ds) -> (ds ref, [DeviceBatch])
 
     def _cache_for(self, ds):
@@ -189,6 +191,12 @@ class CachedDeviceBatcher:
         hit = self._caches.get(key)
         if hit is not None:
             return hit[1]
+        if self._synth is not None:
+            cache = self._synth.stage(
+                ds, self._base.batches(ds, shuffle=True, seed=self._seed)
+            )
+            self._caches[key] = (ds, cache)
+            return cache
         import jax
 
         cache = []
@@ -219,6 +227,102 @@ class CachedDeviceBatcher:
                 return
             n += len(b.uids)
             yield b
+
+
+class DeviceSynth:
+    """On-device feature synthesis for staged synthetic corpora.
+
+    Staging a TIMIT-sized synthetic corpus (data/synthetic.py) as f32
+    features costs ~200+ MB of host->device transfer — ~30 minutes over
+    the ~8 MB/s tunneled-chip link. But the features ARE a formula:
+
+        x[t] = prototypes[phone_at_frame[t]] + noise * N(0, 1)
+
+    so this stager ships only uint8 frame->phone index maps (and uint8
+    targets), ~100x less traffic, and evaluates the formula on device in
+    one jitted call per bucket shape. Batch membership, targets,
+    lengths, and the zeroed padding region are bit-identical to the
+    host path; the Gaussian noise is a different but identically
+    distributed draw (jax PRNG keyed per bucket instead of the host
+    RandomState) — with noise=0 the staged features match the host
+    features exactly (pinned by tests/test_batching.py).
+
+    Requires ds.start/ds.finish per-token frame spans (synthetic
+    corpora carry them; make_corpus emits no frames for <EOS>, so
+    tokens >= len(prototypes) are skipped when painting the map).
+    """
+
+    def __init__(self, prototypes: np.ndarray, noise: float, seed: int = 0):
+        self.protos = np.asarray(prototypes, np.float32)
+        self.noise = float(noise)
+        self.seed = int(seed)
+
+    def stage(self, ds, host_batches) -> List["DeviceBatch"]:
+        import jax
+        import jax.numpy as jnp
+
+        assert ds.start is not None and ds.finish is not None, (
+            "DeviceSynth needs per-token frame spans (ds.start/finish)"
+        )
+        by_uid = {u: i for i, u in enumerate(ds.uids)}
+        n_ph = self.protos.shape[0]
+        groups: dict = {}  # (L_pad, T_pad) -> [(ordinal, Batch, idx u8)]
+        n_total = 0
+        for b in host_batches:
+            idx = np.zeros((b.x.shape[0], b.x.shape[1]), np.uint8)
+            for r, u in enumerate(b.uids):
+                i = by_uid[u]
+                y, st, fi = ds.y[i], ds.start[i], ds.finish[i]
+                for j in range(len(y)):
+                    if y[j] < n_ph:  # skip <EOS>: it emits no frames
+                        idx[r, st[j]:fi[j]] = y[j]
+            # key includes B: ragged tail batches stack separately
+            groups.setdefault(
+                (b.x.shape[0], b.x.shape[1], b.y.shape[1]), []
+            ).append((n_total, b, idx))
+            n_total += 1
+
+        protos_dev = jax.device_put(self.protos)
+        noise = self.noise
+
+        @jax.jit
+        def build(protos, idx_all, x_len_all, y_all, y_len_all, key):
+            x = jnp.take(protos, idx_all.astype(jnp.int32), axis=0)
+            x = x + noise * jax.random.normal(key, x.shape, jnp.float32)
+            l_mask = (
+                jnp.arange(x.shape[-2]) < x_len_all[..., None]
+            )  # (n, B, L)
+            x = x * l_mask[..., None]
+            dec_mask = (
+                jnp.arange(y_all.shape[-1]) < y_len_all[..., None]
+            ).astype(jnp.float32)
+            return x, y_all.astype(jnp.int32), dec_mask
+
+        key = jax.random.PRNGKey(self.seed)
+        cache: List[Optional[DeviceBatch]] = [None] * n_total
+        for gi, (_shape, members) in enumerate(sorted(groups.items())):
+            # one put per field per bucket shape: put LATENCY (~1 s over
+            # the tunnel) dominates these tiny arrays, so batches stack
+            idx_all = np.stack([m[2] for m in members])
+            x_len_all = np.stack([m[1].x_len for m in members])
+            y_all = np.stack([m[1].y for m in members]).astype(np.uint8)
+            y_len_all = np.stack([m[1].y_len for m in members])
+            x_dev, y_dev, dm_dev = build(
+                protos_dev,
+                jax.device_put(idx_all),
+                jax.device_put(x_len_all),
+                jax.device_put(y_all),
+                jax.device_put(y_len_all),
+                jax.random.fold_in(key, gi),
+            )
+            xl_dev = jnp.asarray(x_len_all)
+            for i, (pos, b, _) in enumerate(members):
+                cache[pos] = DeviceBatch(
+                    x=x_dev[i], x_len=xl_dev[i], y=y_dev[i],
+                    dec_mask=dm_dev[i], y_len=b.y_len, y39=b.y39,
+                    uids=b.uids,
+                )
+        return cache
 
 
 @dataclasses.dataclass

@@ -25,6 +25,19 @@ import numpy as np
 from .timit import Dataset
 
 
+def prototype_table(
+    n_phones: int, feat_dim: int, seed: int = 0
+) -> np.ndarray:
+    """The per-phone prototype vectors `make_corpus(seed=seed)` uses —
+    well-separated scaled random rows, deterministic in (n_phones,
+    feat_dim, seed). Exposed so batching.DeviceSynth can re-evaluate
+    the emission formula on device without shipping features."""
+    proto_rng = np.random.RandomState(10_000 + seed)
+    prototypes = proto_rng.randn(n_phones, feat_dim).astype(np.float32)
+    prototypes /= np.linalg.norm(prototypes, axis=1, keepdims=True)
+    return prototypes * 2.0
+
+
 def make_corpus(
     n_utts: int,
     n_phones: int = 7,
@@ -48,11 +61,7 @@ def make_corpus(
     """
     rng = np.random.RandomState(seed)
     if prototypes is None:
-        # well-separated prototypes: scaled random orthonormal-ish rows
-        proto_rng = np.random.RandomState(10_000 + seed)
-        prototypes = proto_rng.randn(n_phones, feat_dim).astype(np.float32)
-        prototypes /= np.linalg.norm(prototypes, axis=1, keepdims=True)
-        prototypes *= 2.0
+        prototypes = prototype_table(n_phones, feat_dim, seed)
     else:
         n_phones = prototypes.shape[0]
         feat_dim = prototypes.shape[1]

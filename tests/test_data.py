@@ -271,6 +271,52 @@ def test_cached_device_batcher_semantics():
     assert sorted(u for b in o for u in b.uids) == sorted(ds2.uids)
 
 
+def test_device_synth_staging_matches_host():
+    """DeviceSynth: staged batches match host staging exactly in
+    membership/targets/lengths/masks; with noise=0 the on-device
+    feature synthesis reproduces the host features bit-for-bit
+    (prototype lookup + zero padding); with noise>0 only the noise
+    draw differs (per-frame deviation bounded by the noise scale)."""
+    import jax
+
+    from seq2seq_attention_asr_tpu.data import batching, synthetic
+
+    for noise in (0.0, 0.3):
+        ds, protos, _ = synthetic.make_corpus(
+            24, n_phones=5, feat_dim=7, min_len=2, max_len=6,
+            noise=noise, seed=2,
+        )
+        base = batching.BucketedBatcher(l_buckets=[16, 32], batch_size=8)
+        plain = batching.CachedDeviceBatcher(base, seed=1)
+        synth = batching.CachedDeviceBatcher(
+            base, seed=1,
+            synth=batching.DeviceSynth(protos, noise=noise, seed=0),
+        )
+        hb = list(plain.batches(ds))
+        sb = list(synth.batches(ds))
+        assert len(hb) == len(sb)
+        for h, s in zip(hb, sb):
+            assert h.uids == s.uids
+            np.testing.assert_array_equal(np.asarray(h.y), np.asarray(s.y))
+            np.testing.assert_array_equal(
+                np.asarray(h.x_len), np.asarray(s.x_len)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(h.dec_mask), np.asarray(s.dec_mask)
+            )
+            assert isinstance(s.x, jax.Array)
+            hx, sx = np.asarray(h.x), np.asarray(s.x)
+            assert hx.shape == sx.shape
+            if noise == 0.0:
+                np.testing.assert_allclose(hx, sx, atol=1e-6)
+            else:
+                # same prototype signal under independent noise draws
+                assert np.max(np.abs(hx - sx)) < 10 * noise
+                # padded region stays exactly zero
+                for r in range(sx.shape[0]):
+                    assert np.all(sx[r, int(s.x_len[r]):] == 0.0)
+
+
 def test_cqt_exact_tone_response():
     """cqt_exact_np is a true constant-Q transform: a pure tone at bin
     k's center frequency peaks at bin k with ~0.5 magnitude (unit-L1

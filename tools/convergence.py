@@ -80,6 +80,9 @@ def main():
                     help="Trainer checkpoint dir (+ best-PER eval export)")
     ap.add_argument("--compute-dtype", default=None,
                     help="override model compute dtype (e.g. bfloat16)")
+    ap.add_argument("--host-features", action="store_true",
+                    help="stage host-generated features instead of "
+                         "on-device synthesis (timit-shape mode)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -288,13 +291,22 @@ def run_timit_shape(args):
     # device-resident batches: over the tunneled chip a per-step batch
     # transfer costs ~40x the step itself, so batches are staged on
     # device once and only their ORDER reshuffles per epoch
+    # ... and the corpus FEATURES are synthesized on device from the
+    # prototype table (uint8 index maps are all that crosses the link:
+    # ~2 MB instead of ~200 MB for the 4000-utt corpus)
+    synth = None
+    if not args.host_features:
+        synth = batching.DeviceSynth(
+            synthetic.prototype_table(61, 123, args.seed),
+            noise=args.noise, seed=args.seed,
+        )
     boot_batcher = batching.CachedDeviceBatcher(
         batching.BucketedBatcher.from_dataset(boot, batch, n_buckets=2),
-        seed=args.seed,
+        seed=args.seed, synth=synth,
     )
     full_batcher = batching.CachedDeviceBatcher(
         batching.BucketedBatcher.from_dataset(train, batch, n_buckets=3),
-        seed=args.seed,
+        seed=args.seed, synth=synth,
     )
     _fit_logged(tr, boot, valid, boot_batcher,
                 max(args.decode_every * 5, 20), rows, t0, meta, args.out,

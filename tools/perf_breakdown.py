@@ -140,14 +140,26 @@ def main():
         return jnp.mean(jnp.sum(per, -1) / jnp.sum(dec_mask, -1))
 
     t_fwd = timed(lambda c: loss_fn(params, jit0(x, c)), "forward")
+
+    # The timing carry must consume EVERY output of the stage, or XLA
+    # dead-code-eliminates the unconsumed compute: consuming only one
+    # grad leaf drops the encoder backward entirely, and consuming only
+    # m["loss"] from the train step drops the whole backward+optimizer
+    # (measured: "full step" 3.3 ms == forward, vs 9.4 ms for real
+    # steps in bench.py). Tree-reduce everything into the carry; the
+    # extra full-pytree sum is ~25 MB of HBM reads, ~0.03 ms.
+    tsum = lambda tree: jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda l: jnp.sum(l.astype(jnp.float32)), tree),
+    )
     t_grad = timed(
-        lambda c: jax.grad(loss_fn)(params, jit0(x, c))["decoder"]["w_e"],
+        lambda c: tsum(jax.grad(loss_fn)(params, jit0(x, c))),
         "fwd+grad",
     )
 
     def full_step(c):
         st, m = step_fn(state, (jit0(x, c), x_len, y, dec_mask))
-        return m["loss"]
+        return tsum(st) + m["loss"]
 
     t_step = timed(full_step, "full step")
 
