@@ -186,11 +186,15 @@ def main():
         y=[rng.randint(0, 62, ti).astype(np.int32) for ti in tlens],
         y39=None, start=[None] * n_utts, finish=[None] * n_utts,
     )
-    # Two L-buckets, one T pad, full batches only: exactly two extra
-    # compiled shapes (each full-train-step compile costs minutes over
-    # the tunnel — an unbounded shape set is not benchable).
+    # Two L-buckets, full batches only: exactly two extra compiled
+    # shapes (each full-train-step compile costs minutes over the
+    # tunnel — an unbounded shape set is not benchable). t_multiple=32
+    # is the measured winner of tools/bucket_sweep.py (runs/
+    # bucket_sweep.json: 43.9k vs 40.5k audio-s/s at t64 — tighter
+    # decoder-axis padding; finer L-buckets lose unless boundaries stay
+    # 16-aligned for the fused bf16 kernel AND the corpus fills them).
     batcher = batching.BucketedBatcher(
-        l_buckets=[96, 144], batch_size=b, t_multiple=64
+        l_buckets=[96, 144], batch_size=b, t_multiple=32
     )
     # Pre-stage every batch on device: this measures the DEVICE cost of
     # bucketed variable shapes + padding waste. (Interleaving host
