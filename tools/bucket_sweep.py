@@ -75,26 +75,34 @@ def main():
     # the bench.py realistic mix: TIMIT-like length distribution
     b = args.batch
     rng = np.random.RandomState(0)
-    n_utts = 512
+    # 2048 utts so even 4-L-bucket configs fill b=128 batches (at 512,
+    # drop_remainder left half the buckets unmeasured — r3 sweep v1).
+    # Feature VALUES don't affect step time, so x is synthesized on
+    # device per batch (random normal at the padded shape) and only
+    # the tiny length/label arrays cross the tunnel.
+    n_utts = 2048
     lens = np.clip(rng.normal(110, 25, n_utts).astype(int), 40, 144)
     tlens = np.maximum(lens // 3, 4)
     ds = timit_data.Dataset(
         uids=[f"b{i}" for i in range(n_utts)],
-        x=[rng.randn(li, 123).astype(np.float32) for li in lens],
+        x=[np.zeros((li, 1), np.float32) for li in lens],  # shape carrier
         y=[rng.randint(0, 62, ti).astype(np.int32) for ti in tlens],
         y39=None, start=[None] * n_utts, finish=[None] * n_utts,
     )
 
+    # every L boundary 16-aligned: the fused bf16 train kernel requires
+    # L %% 16 (CLAUDE.md bf16-tile note) — v1 of this sweep used 104 and
+    # those batches silently fell back to the (slower) XLA path
     configs = [
         ("2xL t64 (r2 bench)", dict(l_buckets=[96, 144], t_multiple=64),
          False),
         ("2xL t32", dict(l_buckets=[96, 144], t_multiple=32), False),
-        ("4xL t32", dict(l_buckets=[80, 104, 128, 144], t_multiple=32),
+        ("4xL t32", dict(l_buckets=[80, 112, 128, 144], t_multiple=32),
          False),
-        ("4xL t16", dict(l_buckets=[80, 104, 128, 144], t_multiple=16),
+        ("4xL t16", dict(l_buckets=[80, 112, 128, 144], t_multiple=16),
          False),
-        ("2xL t64 sorted", dict(l_buckets=[96, 144], t_multiple=64), True),
-        ("4xL t16 sorted", dict(l_buckets=[80, 104, 128, 144],
+        ("2xL t32 sorted", dict(l_buckets=[96, 144], t_multiple=32), True),
+        ("4xL t16 sorted", dict(l_buckets=[80, 112, 128, 144],
                                 t_multiple=16), True),
     ]
     rows = []
@@ -120,12 +128,19 @@ def main():
             )
         dev_batches, real_audio, padded_audio = [], 0.0, 0.0
         shapes = set()
-        for bt in batcher.batches(use, drop_remainder=True):
+        mk_x = jax.jit(
+            lambda k, s: jax.random.normal(k, s, jnp.float32),
+            static_argnums=1,
+        )
+        key = jax.random.PRNGKey(7)
+        for bi, bt in enumerate(batcher.batches(use, drop_remainder=True)):
             real_audio += float(bt.x_len.sum()) * HOP / SR
             padded_audio += bt.x.shape[0] * bt.x.shape[1] * HOP / SR
             shapes.add((bt.x.shape[1], bt.y.shape[1]))
             dev_batches.append((
-                jnp.asarray(bt.x), jnp.asarray(bt.x_len),
+                mk_x(jax.random.fold_in(key, bi),
+                     (bt.x.shape[0], bt.x.shape[1], 123)),
+                jnp.asarray(bt.x_len),
                 jnp.asarray(bt.y), jnp.asarray(bt.dec_mask),
             ))
         state = init_fn(model.init(jax.random.PRNGKey(0)),
