@@ -88,6 +88,17 @@ def model_flops_per_sample(l: int, t: int, cfg) -> float:
 
 
 def main():
+    # One chip client at a time, enforced mechanically (VERDICT r3
+    # Weak #5: BENCH_r03 ran concurrently with a convergence run and
+    # one of the two measured degraded). Fails fast if another live
+    # client holds the lease; no-op under BENCH_CPU.
+    from seq2seq_attention_asr_tpu.utils.lease import chip_lease
+
+    with chip_lease("bench.py"):
+        _main()
+
+
+def _main():
     if os.environ.get("BENCH_CPU"):
         # validation escape hatch: the axon plugin overrides
         # JAX_PLATFORMS, so forcing CPU must happen pre-init

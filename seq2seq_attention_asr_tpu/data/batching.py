@@ -245,7 +245,8 @@ class DeviceSynth:
     host path; the Gaussian noise is a different but identically
     distributed draw (jax PRNG keyed per bucket instead of the host
     RandomState) — with noise=0 the staged features match the host
-    features exactly (pinned by tests/test_batching.py).
+    features exactly (pinned by tests/test_data.py::
+    test_device_synth_staging_matches_host).
 
     Requires ds.start/ds.finish per-token frame spans (synthetic
     corpora carry them; make_corpus emits no frames for <EOS>, so
@@ -266,6 +267,14 @@ class DeviceSynth:
         )
         by_uid = {u: i for i, u in enumerate(ds.uids)}
         n_ph = self.protos.shape[0]
+        # The index maps and targets ship as uint8 (that's the whole
+        # transfer saving); a wider corpus would silently wrap ids into
+        # wrong prototypes/targets, so refuse it loudly.
+        assert n_ph <= 255, f"DeviceSynth needs <=255 prototypes, got {n_ph}"
+        max_tok = max((int(np.max(y)) for y in ds.y if len(y)), default=0)
+        assert max_tok < 256, (
+            f"DeviceSynth stages uint8 targets; corpus has token id {max_tok}"
+        )
         groups: dict = {}  # (L_pad, T_pad) -> [(ordinal, Batch, idx u8)]
         n_total = 0
         for b in host_batches:

@@ -50,7 +50,7 @@ others — no explicit freeze masking needed.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,7 @@ def beam_search(
     max_steps: jnp.ndarray | None = None,
     max_steps_cap: int | None = None,
     axis_name: str | None = None,
+    sync_axes: Optional[Sequence[str]] = None,
     backend: str = "auto",
 ) -> BeamResult:
     """h: (B, L, A) annotations. max_steps: (B,) per-sample cap
@@ -90,6 +91,21 @@ def beam_search(
     sharded; every shard computes identical top_k decisions because the
     psum'd context and logprobs are identical). max_steps_cap is
     required under sharding (the default L would be the local length).
+
+    `sync_axes` (required whenever the loop body contains collectives —
+    i.e. whenever axis_name is set — and the caller's mesh has MORE
+    axes than axis_name): the full set of mesh axis names to agree the
+    while_loop trip count over. Without it, shards whose samples finish
+    early would exit the loop while neighbours still execute the
+    location conv's halo `ppermute` (ops/attention.py:_halo_exchange),
+    deadlocking the collective (the MULTICHIP_r03 failure: dp shards
+    have shard-local `max_steps`/`fin_count`, so their data-dependent
+    trip counts diverge). The loop carries a continue flag computed at
+    the END of each body via `lax.pmax` over `sync_axes`, so every
+    device in the mesh runs the identical number of iterations; a
+    shard whose samples are all finished keeps stepping with budget 0
+    (its pool provably stops changing) until the global flag drops.
+    Per-sample results are bitwise identical to the unsharded search.
 
     backend: "auto" | "xla" | "pallas" — "pallas" runs the per-step
     attention through the fused single-step kernel
@@ -164,8 +180,29 @@ def beam_search(
         unflat = jax.tree.map(lambda a: a.reshape((b, k) + a.shape[1:]), new_fs)
         return unflat, logp.reshape(b, k, v)
 
+    # Loop bound, agreed across every device in `sync_axes` (hoisted —
+    # it is loop-invariant). jnp.max over the batch first so the
+    # collective reduces a scalar.
+    t_max = jnp.max(max_steps)
+    if sync_axes:
+        t_max = jax.lax.pmax(t_max, tuple(sync_axes))
+
+    def _still_going(t_next, fin_count):
+        """Continue predicate evaluated at the end of a body iteration
+        (equals what the old data-dependent `cond` would compute at the
+        next loop top). Under `sync_axes` it is pmax-agreed so all
+        shards run the same trip count — collectives inside the body
+        (halo ppermute, context psum, softmax LSE) stay in lockstep."""
+        unfinished = jnp.any(fin_count < k)
+        if sync_axes:
+            unfinished = (
+                jax.lax.pmax(unfinished.astype(jnp.int32), tuple(sync_axes)) > 0
+            )
+        return jnp.logical_and(t_next <= t_max, unfinished)
+
     class Loop(NamedTuple):
         t: jnp.ndarray
+        go: jnp.ndarray  # () bool, globally agreed continue flag
         last: jnp.ndarray  # (B, K) last token id of each live slot
         scores: jnp.ndarray  # (B, K) live total logprobs
         live_count: jnp.ndarray  # (B,)
@@ -184,6 +221,7 @@ def beam_search(
         )
         return Loop(
             t=jnp.asarray(0, jnp.int32),
+            go=_still_going(jnp.asarray(0, jnp.int32), jnp.zeros((b,), jnp.int32)),
             last=jnp.zeros((b, k), jnp.int32),
             scores=jnp.zeros((b, k), sdtype),
             live_count=jnp.ones((b,), jnp.int32),  # one empty hypothesis
@@ -195,9 +233,11 @@ def beam_search(
         )
 
     def cond(lp: Loop):
-        return jnp.logical_and(
-            lp.t <= jnp.max(max_steps), jnp.any(lp.fin_count < k)
-        )
+        # Pure carry read — the data-dependent predicate (and any
+        # collective agreement it needs) was computed at the end of the
+        # previous body iteration, where collectives are guaranteed to
+        # execute in lockstep across shards.
+        return lp.go
 
     def body(lp: Loop) -> Loop:
         t = lp.t
@@ -277,6 +317,7 @@ def beam_search(
 
         return Loop(
             t=t + 1,
+            go=_still_going(t + 1, fin_count),
             last=sel_token.astype(jnp.int32),
             scores=sel_scores,
             live_count=new_live,

@@ -108,6 +108,13 @@ def sharded_beam_search(
     over "sp"; only the encoder annotations and the per-hypothesis
     alignment state stay position-sharded. max_steps defaults to the
     GLOBAL enc_lengths; max_steps_cap defaults to the global padded L.
+
+    The while_loop trip count is agreed over EVERY mesh axis
+    (`sync_axes=mesh.axis_names` passed to beam_search): with dp > 1
+    the per-dp-shard `max_steps`/finished counts differ, and a shard
+    exiting the decode loop early while its neighbours still run the
+    location-conv halo `ppermute` deadlocks the collective (the
+    MULTICHIP_r03 rc=134 failure — see decode/beam.py docstring).
     """
     from ..decode import beam as beam_lib
 
@@ -138,7 +145,7 @@ def sharded_beam_search(
         return beam_lib.beam_search(
             p, cfg, h_loc, lens, eos_loc, k=k,
             max_steps=msteps, max_steps_cap=max_steps_cap,
-            axis_name=SEQ_AXIS,
+            axis_name=SEQ_AXIS, sync_axes=tuple(mesh.axis_names),
         )
 
     return run(params, h, enc_lengths, eos, max_steps)

@@ -227,6 +227,47 @@ def test_mesh_trainer_fit_matches_single_device(tmp_path):
         assert m["valid_per"] == pytest.approx(s["valid_per"], abs=1e-6)
 
 
+def test_sharded_beam_dp_with_loc_conv_unequal_lengths():
+    """Regression for the MULTICHIP_r03 deadlock (VERDICT r3 Weak #1):
+    dp>1 AND feature_maps>0 AND per-dp-shard-unequal lengths. The
+    location conv's halo `ppermute` runs in every while_loop iteration;
+    without a globally-agreed trip count (beam_search `sync_axes`) dp
+    shards whose samples finish early exit the loop while neighbours
+    still execute the 8-participant collective-permute -> deadlock.
+    This is the general bug class: data-dependent trip counts around
+    collectives. Result must equal the unsharded beam exactly."""
+    from seq2seq_attention_asr_tpu.decode import beam as beam_lib
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=16, filt_size=5, feature_maps=4, state_depth=16,
+        annotation_depth=24, output_depth=6, cell="gru",
+        mono_align=False, penalty_lambda=0.0,
+        readout=(("linear", 6),),
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    b, l = 8, 16  # dp=4 -> 2 samples/shard; l divides sp=2
+    h = jax.random.normal(jax.random.PRNGKey(1), (b, l, 24)) * 0.5
+    # Unequal per-shard lengths (the dryrun recipe: randint(l//2, l+1))
+    lens = jnp.array([16, 9, 12, 5, 8, 16, 11, 13])
+    h = h * (jnp.arange(l)[None, :, None] < lens[:, None, None])
+
+    want = beam_lib.beam_search(
+        params, cfg, h, lens, eos_id=2, k=3,
+        max_steps=lens, max_steps_cap=l,
+    )
+    mesh = make_mesh(dp=4, sp=2)
+    got = seq_attention.sharded_beam_search(
+        mesh, params, cfg, h, lens, eos_id=2, k=3,
+        max_steps=lens, max_steps_cap=l,
+    )
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(want.lengths))
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_sharded_beam_matches_unsharded():
     """Sequence-sharded beam search (SURVEY.md §2.6(d)) must reproduce
     the single-device result exactly."""

@@ -101,3 +101,43 @@ def test_extract_alpha_tool(tmp_path):
         a = np.asarray(f["u0"]["alpha"])
         assert a.shape[0] == 3  # T steps
         np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-5)
+
+
+def test_chip_lease_excludes_second_client(tmp_path, monkeypatch):
+    """utils/lease.py: the one-chip-client rule enforced mechanically
+    (VERDICT r3 Weak #5 / next-round #4). A second client must fail
+    fast while a live client holds the lease; a stale lock (dead owner
+    pid) is reclaimed; CPU-only runs skip the lease entirely."""
+    import json
+    import os
+
+    from seq2seq_attention_asr_tpu.utils import lease
+
+    path = str(tmp_path / "chip.lease")
+    # make _would_use_chip() report a chip run
+    monkeypatch.delenv("BENCH_CPU", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+    with lease.chip_lease("first", path=path):
+        assert os.path.exists(path)
+        with pytest.raises(SystemExit) as e:
+            with lease.chip_lease("second", path=path):
+                pass
+        assert "chip lease held" in str(e.value)
+        # force override still works mid-lease
+        with lease.chip_lease("forced", path=path, force=True):
+            pass
+    assert not os.path.exists(path)  # released on exit
+
+    # stale lock: owner pid is dead -> reclaimed
+    with open(path, "w") as f:
+        json.dump({"pid": 2**22 + 12345, "tag": "dead"}, f)
+    with lease.chip_lease("reclaim", path=path):
+        with open(path) as f:
+            assert json.load(f)["pid"] == os.getpid()
+    assert not os.path.exists(path)
+
+    # CPU-only run: no lock file at all
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    with lease.chip_lease("cpu", path=path):
+        assert not os.path.exists(path)

@@ -106,6 +106,14 @@ def main():
                                 t_multiple=16), True),
     ]
     rows = []
+    # hoisted out of the config loop: rebuilding the jit per config
+    # would discard its cache and recompile the feature-synth kernel
+    # for every row (wasteful on the tunneled chip)
+    mk_x = jax.jit(
+        lambda k, s: jax.random.normal(k, s, jnp.float32),
+        static_argnums=1,
+    )
+    key = jax.random.PRNGKey(7)
     for name, kw, sorted_ in configs:
         batcher = batching.BucketedBatcher(batch_size=b, **kw)
         use = ds
@@ -128,11 +136,6 @@ def main():
             )
         dev_batches, real_audio, padded_audio = [], 0.0, 0.0
         shapes = set()
-        mk_x = jax.jit(
-            lambda k, s: jax.random.normal(k, s, jnp.float32),
-            static_argnums=1,
-        )
-        key = jax.random.PRNGKey(7)
         for bi, bt in enumerate(batcher.batches(use, drop_remainder=True)):
             real_audio += float(bt.x_len.sum()) * HOP / SR
             padded_audio += bt.x.shape[0] * bt.x.shape[1] * HOP / SR
@@ -182,4 +185,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # one chip client at a time (CLAUDE.md; utils/lease.py)
+    from seq2seq_attention_asr_tpu.utils.lease import chip_lease
+
+    with chip_lease("bucket_sweep.py"):
+        main()

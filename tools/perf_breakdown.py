@@ -217,4 +217,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # one chip client at a time (CLAUDE.md; utils/lease.py)
+    from seq2seq_attention_asr_tpu.utils.lease import chip_lease
+
+    with chip_lease("perf_breakdown.py"):
+        main()
