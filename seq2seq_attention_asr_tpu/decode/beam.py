@@ -212,24 +212,34 @@ def beam_search(
         fin_meta: jnp.ndarray  # (B, K, 3) f32 (step, parent, token)
         fin_count: jnp.ndarray  # (B,)
 
+    # Varying-manual-axes annotations for shard_map's check_vma: the
+    # zero-initialized carry components are constants, but every body
+    # output is batch-varying (derived from h/lens, sharded over the
+    # non-sequence mesh axes) and the alignment state additionally
+    # varies over the sequence axis. `pvary` marks the inits to match
+    # so the while_loop carry types agree under the check.
+    batch_axes = tuple(a for a in (sync_axes or ()) if a != axis_name)
+    seq_axes = batch_axes + ((axis_name,) if axis_name else ())
+    _vary = lambda x, axes: jax.lax.pcast(x, tuple(axes), to="varying") if axes else x
+
     def init_loop() -> Loop:
         alpha0, s0, mem0 = attention.init_state(cfg, b * k, l_pad, dtype)
         state0 = (
-            alpha0.reshape(b, k, l_pad),
-            s0.reshape(b, k, -1),
-            mem0.reshape(b, k, -1),
+            _vary(alpha0.reshape(b, k, l_pad), seq_axes),
+            _vary(s0.reshape(b, k, -1), batch_axes),
+            _vary(mem0.reshape(b, k, -1), batch_axes),
         )
         return Loop(
             t=jnp.asarray(0, jnp.int32),
             go=_still_going(jnp.asarray(0, jnp.int32), jnp.zeros((b,), jnp.int32)),
-            last=jnp.zeros((b, k), jnp.int32),
-            scores=jnp.zeros((b, k), sdtype),
-            live_count=jnp.ones((b,), jnp.int32),  # one empty hypothesis
+            last=_vary(jnp.zeros((b, k), jnp.int32), batch_axes),
+            scores=_vary(jnp.zeros((b, k), sdtype), batch_axes),
+            live_count=_vary(jnp.ones((b,), jnp.int32), batch_axes),
             state=state0,
-            hist=jnp.zeros((cap + 1, b, k), jnp.int32),
-            fin_scores=jnp.full((b, k), NEG_INF, sdtype),
-            fin_meta=jnp.zeros((b, k, 3), sdtype),
-            fin_count=jnp.zeros((b,), jnp.int32),
+            hist=_vary(jnp.zeros((cap + 1, b, k), jnp.int32), batch_axes),
+            fin_scores=_vary(jnp.full((b, k), NEG_INF, sdtype), batch_axes),
+            fin_meta=_vary(jnp.zeros((b, k, 3), sdtype), batch_axes),
+            fin_count=_vary(jnp.zeros((b,), jnp.int32), batch_axes),
         )
 
     def cond(lp: Loop):

@@ -139,7 +139,6 @@ def sharded_beam_search(
             lengths=P(DATA_AXIS),
             scores=P(DATA_AXIS),
         ),
-        check_vma=False,  # replicated top_k decisions are bitwise equal
     )
     def run(p, h_loc, lens, eos_loc, msteps):
         return beam_lib.beam_search(
