@@ -87,6 +87,45 @@ def model_flops_per_sample(l: int, t: int, cfg) -> float:
     return float(enc + vh + t * dec_step)
 
 
+def conv_bilstm_flops_per_sample(l: int, t: int, cfg) -> float:
+    """Analytic matmul/conv FLOPs of one forward pass on the conv+BiLSTM
+    model (timit/timit.lua:98-169 architecture): 3x(conv kW=3 + pool 2)
+    -> 8x time downsampling -> BiLSTM(256->128) -> LSTM(400) attention
+    decoder with location conv (featMaps 16)."""
+    f = cfg["input"]
+    hid = cfg["hidden"]  # conv channels
+    out = cfg["out_frame"]  # bilstm hidden per direction
+    a = 2 * out
+    s = cfg["score"]
+    st = cfg["state"]
+    v = cfg["vocab"]
+    kw, fm, filt = 3, cfg["feature_maps"], cfg["filt_size"]
+    total = 0.0
+    li, cin = l, f
+    for _ in range(3):
+        li = li - (kw - 1)  # VALID conv
+        total += li * 2 * kw * cin * hid
+        li, cin = li // 2, hid  # pool 2
+    l3 = li
+    # BiLSTM: 4 gates on (in + hidden) per direction per frame
+    total += 2 * l3 * 2 * (hid + out) * 4 * out
+    # Vh hoist
+    total += 2 * l3 * a * s
+    dec_step = (
+        2 * st * s              # Ws
+        + l3 * (2 * filt * fm + 2 * fm * s)  # location conv UF
+        + 2 * l3 * s            # energies
+        + 2 * l3 * a            # context
+        + 2 * a * st            # c_in
+        + 2 * v * st            # y_in
+        + 2 * (2 * st) * st     # dec_in
+        + 2 * (st + st) * 4 * st  # LSTM cell gates
+        + 2 * (st + a) * 2 * v  # readout linear 1
+        + 2 * (2 * v) * v       # readout linear 2
+    )
+    return float(total + t * dec_step)
+
+
 def main():
     # One chip client at a time, enforced mechanically (VERDICT r3
     # Weak #5: BENCH_r03 ran concurrently with a convergence run and
@@ -306,6 +345,40 @@ def _main():
         trained_value = float(lt.sum()) * HOP / SR * n_dec / tdt
         trained_frac = float(np.mean(lens_out / np.asarray(lt)))
 
+    # --- conv+BiLSTM (8x time-downsample) train throughput -----------
+    # The short-recurrence recipe (timit/timit.lua:98-169): PERF.md's
+    # MFU-ceiling analysis says the flagship's bound is the sequential
+    # recurrence bubble and the lever is SHORTENING the recurrence —
+    # this row is that experiment (VERDICT r3 next-round #3). 3x
+    # conv+pool cuts both the encoder scan and the attention length to
+    # L/8; the decoder stays T steps (LSTM cell -> XLA scan path).
+    cb_dims = dict(input=123, hidden=256, out_frame=128, score=150,
+                   state=400, vocab=62, feature_maps=16, filt_size=5)
+    cb_model = registry.build(
+        "conv_bilstm",
+        input_frame_size=123, hidden_frame_size=256, output_frame_size=128,
+        score_depth=150, state_depth=400, output_depth=62,
+        feature_maps=16, filt_size=5, scan_unroll=8,
+        compute_dtype="bfloat16",
+    )
+    cb_init, cb_step = trainer_lib.make_train_step(
+        cb_model.forward, tx, ocfg, tcfg, 62
+    )
+    cb_jit = jax.jit(cb_step, donate_argnums=0)
+    cb_state = cb_init(cb_model.init(jax.random.PRNGKey(2)),
+                       jax.random.PRNGKey(3))
+    for _ in range(3):
+        cb_state, cm = cb_jit(cb_state, batch)
+    float(cm["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        cb_state, cm = cb_jit(cb_state, batch)
+    float(cm["loss"])
+    cb_dt = time.perf_counter() - t0
+    cb_value = audio_s_per_batch * n_steps / cb_dt
+    cb_flops = 3.0 * b * conv_bilstm_flops_per_sample(l, t, cb_dims)
+    cb_mfu = cb_flops * n_steps / cb_dt / peak
+
     # --- serving latency: PCM -> text p50 per batch size -------------
     from seq2seq_attention_asr_tpu import serve
 
@@ -327,6 +400,25 @@ def _main():
         latency[f"serve_p50_latency_ms_b{bsize}"] = round(
             float(np.median(times)), 2
         )
+    # exact=True is the DOCUMENTED DEFAULT front end (serve.py) and the
+    # parity-tested mode — measure it too (VERDICT r3 Weak #6: only the
+    # exact=False path had a published number).
+    tr_exact = serve.Transcriber(
+        model, dec_params, eos_id=61, pad_frames=10, beam_k=5,
+        frontend="pallas", exact=True, frame_bucket=16,
+    )
+    for bsize in (1, 8):
+        pcms = [rng2.randn(int(16000 * 3.5)).astype(np.float32) * 0.1
+                for _ in range(bsize)]
+        tr_exact.transcribe(pcms)  # compile
+        times = []
+        for _ in range(2 if cheap else 7):
+            t0 = time.perf_counter()
+            tr_exact.transcribe(pcms)
+            times.append((time.perf_counter() - t0) * 1e3)
+        latency[f"serve_p50_latency_ms_b{bsize}_exact"] = round(
+            float(np.median(times)), 2
+        )
 
     out = {
         "metric": "train_audio_s_per_s_per_chip",
@@ -338,6 +430,8 @@ def _main():
         "realistic_mix_audio_s_per_s": round(mix_value, 2),
         "decode_audio_s_per_s": round(decode_value, 2),
         "decode_rtf_per_stream": round(decode_value / b, 2),
+        "convbilstm_audio_s_per_s": round(cb_value, 2),
+        "convbilstm_mfu": round(cb_mfu, 4),
     }
     if trained_value is not None:
         out["decode_trained_audio_s_per_s"] = round(trained_value, 2)

@@ -38,7 +38,12 @@ import jax.numpy as jnp
 
 from . import cells, readout
 from .masking import masked_softmax
-from .monotonic import make_ramp, monotonic_alignment, monotonic_penalty_value
+from .monotonic import (
+    make_ramp,
+    monotonic_alignment,
+    monotonic_alignment_seq,
+    monotonic_penalty_value,
+)
 
 Params = Dict[str, Any]
 
@@ -367,7 +372,32 @@ def decode_teacher_forced(
                 s_seq, c_seq, alpha_seq = _as.attention_decode_scan(
                     *common, block_b, interpret,
                 )
-            out = {"alpha": alpha_seq, "penalty": jnp.zeros_like(dec_mask)}
+            if use_penalty:
+                # Penalty value from the saved alignment sequence (the
+                # weighted-sum form, see ops/monotonic.py) and the ramp
+                # injection as an extra cotangent on alpha_seq — the
+                # fused kernel needs no penalty-specific code.
+                a32 = alpha_seq.astype(jnp.float32)
+                ap32 = jnp.concatenate(
+                    [jnp.zeros_like(a32[:, :1]), a32[:, :-1]], axis=1
+                )
+                pen_unit = jnp.maximum(
+                    jnp.einsum(
+                        "btl,bl->bt", a32 - ap32,
+                        unit_ramp.astype(jnp.float32),
+                    ),
+                    0.0,
+                )
+                alpha_seq = monotonic_alignment_seq(
+                    alpha_seq, base_ramp, dec_mask.astype(base_ramp.dtype),
+                    pen_unit,
+                )
+                penalty = (
+                    cfg.penalty_lambda * pen_unit * dec_mask
+                ).astype(dec_mask.dtype)
+            else:
+                penalty = jnp.zeros_like(dec_mask)
+            out = {"alpha": alpha_seq, "penalty": penalty}
             if not with_readout:
                 out.update(s=s_seq, c=c_seq)
                 return out

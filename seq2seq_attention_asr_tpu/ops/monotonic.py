@@ -60,6 +60,58 @@ def monotonic_penalty_value(
 
 
 @jax.custom_vjp
+def monotonic_alignment_seq(
+    alpha_seq: jnp.ndarray,
+    base_ramp: jnp.ndarray,
+    dec_mask: jnp.ndarray,
+    active: jnp.ndarray,
+) -> jnp.ndarray:
+    """Whole-sequence form of `monotonic_alignment` — identity on the
+    stacked (B, T, L) alignment sequence, ramp-injecting in the VJP.
+
+    Lets the FUSED decoder scan (ops/pallas/attention_scan.py) support
+    penalty-active configs without kernel changes: per step t the
+    reference injects +ramp into d(alpha_t) and -ramp into
+    d(alpha_{t-1}) wherever penalty_t > 0 (MonotonicAlignment.lua:
+    49-75). Both are additive cotangents on the kernel's alpha outputs,
+    so applying them to the stacked sequence BEFORE the kernel's
+    custom_vjp consumes d(alpha_seq) is algebraically identical to the
+    per-step injection inside the XLA scan (attention_step):
+
+        d(alpha_t) += inject_t - inject_{t+1},
+        inject_t = [active_t > 0] * base_ramp * dec_mask_t
+
+    base_ramp: lambda-scaled `make_ramp` (B, L); dec_mask (B, T);
+    active (B, T) the per-step unscaled penalty value (computed by the
+    caller from this same alpha_seq; gradient through it is cut, as in
+    the per-step op where it is a residual).
+    """
+    return alpha_seq
+
+
+def _mono_seq_fwd(alpha_seq, base_ramp, dec_mask, active):
+    return alpha_seq, (base_ramp, dec_mask, active)
+
+
+def _mono_seq_bwd(res, g):
+    base_ramp, dec_mask, active = res
+    fire = (active > 0.0).astype(base_ramp.dtype) * dec_mask  # (B, T)
+    inject = fire[:, :, None] * base_ramp[:, None, :]  # (B, T, L)
+    minus = jnp.concatenate(
+        [inject[:, 1:], jnp.zeros_like(inject[:, :1])], axis=1
+    )
+    return (
+        g + (inject - minus).astype(g.dtype),
+        jnp.zeros_like(base_ramp),
+        jnp.zeros_like(dec_mask),
+        jnp.zeros_like(active),
+    )
+
+
+monotonic_alignment_seq.defvjp(_mono_seq_fwd, _mono_seq_bwd)
+
+
+@jax.custom_vjp
 def monotonic_alignment(
     alpha: jnp.ndarray, prev_alpha: jnp.ndarray, ramp: jnp.ndarray, active: jnp.ndarray
 ) -> jnp.ndarray:

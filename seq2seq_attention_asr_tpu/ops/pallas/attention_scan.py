@@ -24,9 +24,11 @@ flagship exp_logmel7_chorowski recipe — `_fwd_kernel`/`_bwd_kernel`)
 AND location-aware attention (feature_maps > 0, e.g. the conv+BiLSTM
 TIMIT recipe — `_fwd_kernel_loc`:~162 / `_bwd_kernel_loc`:~435 fuse the
 conv-over-previous-alpha UF term, Attention.lua:73-99, into the same
-scan). The XLA scan path remains for LSTM decoder cells, the active
-monotonic-penalty ramp (gradient-only, cheap), sequence sharding, and
-shapes `choose_block` rejects.
+scan). The XLA scan path remains for LSTM decoder cells, sequence
+sharding, and shapes `choose_block` rejects. Penalty-active configs run
+fused too: the monotonic ramp is injected OUTSIDE the kernel as an
+extra cotangent on the saved alpha sequence
+(ops/monotonic.py::monotonic_alignment_seq).
 
 The backward pass is a second Pallas kernel scanning t reversed that
 recomputes the step (tanh energies, gates) from the saved (alpha, s, c)
@@ -961,13 +963,15 @@ def choose_block(batch: int, l: int, s_dim: int, a_dim: int,
 
 def supported(cfg, batch: int, l: int = 144, dtype=jnp.float32) -> bool:
     """Usable for this config/batch? GRU cell (plain or location-aware
-    attention — feature_maps > 0 runs the _loc kernels), no penalty
-    ramp (the monotonic penalty is gradient-only and handled by the XLA
-    path), tile-friendly L, and a (batch, L) block that fits in VMEM."""
+    attention — feature_maps > 0 runs the _loc kernels), tile-friendly
+    L, and a (batch, L) block that fits in VMEM. Penalty-active configs
+    (mono_align && penalty_lambda > 0) ARE supported: the penalty value
+    and ramp injection are applied OUTSIDE the kernel on the saved
+    alpha sequence (ops/monotonic.py::monotonic_alignment_seq via
+    decode_teacher_forced) — no kernel involvement."""
     sublane = 16 if dtype == jnp.bfloat16 else 8
     return (
         cfg.cell == "gru"
-        and not (cfg.mono_align and cfg.penalty_lambda > 0.0)
         and batch >= 8
         and l % sublane == 0
         and choose_block(batch, l, cfg.score_depth, cfg.annotation_depth,

@@ -189,6 +189,18 @@ def make_step_core(
             "total": total,
             "penalty": jnp.sum(out["penalty"]),
         }
+        if use_awn:
+            # Posterior-noise observability: the AWN failure mode is mu
+            # draining toward the prior mean / sigma inflating toward
+            # alpha_sigma2 (adadelta gives the consistent KL direction
+            # full-size steps regardless of lambda — see
+            # docs/AWN_NOTES.md). param_norm above is |mu|; this is the
+            # rms sampling noise actually applied each step.
+            n_tot = sum(l.size for l in jax.tree.leaves(train_params.s))
+            sig2 = sum(
+                jnp.sum(jnp.exp(l)) for l in jax.tree.leaves(train_params.s)
+            )
+            metrics["awn_sigma_rms"] = jnp.sqrt(sig2 / n_tot)
         return (train_params, opt_state, rng), metrics
 
     return step_fn
@@ -553,7 +565,7 @@ class Trainer:
         return self._train_row(agg, nb, ns, time.time() - t0, epoch)
 
     def _train_row(self, agg, n_batches, n_samples, dt, epoch):
-        return {
+        row = {
             "epoch": epoch,
             "train_loss": agg["loss"] / max(n_batches, 1),
             "train_nll": agg["nll"] / max(n_batches, 1),
@@ -563,6 +575,13 @@ class Trainer:
             "train_seconds": dt,
             "train_samples_per_s": n_samples / max(dt, 1e-9),
         }
+        # AWN observability (end-of-epoch posterior noise + |mu|): the
+        # known failure mode is slow mu drain / sigma inflation under
+        # the KL pull — visible here long before PER notices.
+        for k in ("awn_sigma_rms", "param_norm"):
+            if k in agg:
+                row[k] = agg[k]
+        return row
 
     def _train_pass(self, ds, batcher, epoch: int, agg) -> Tuple[int, int]:
         keys = self._AGG_KEYS
@@ -605,6 +624,10 @@ class Trainer:
                         bad or ["<params finite; non-finite loss only>"],
                     )
         drain()
+        if n_batches and "awn_sigma_rms" in m:
+            # end-of-epoch snapshot (one extra sync per epoch)
+            agg["awn_sigma_rms"] = float(m["awn_sigma_rms"])
+            agg["param_norm"] = float(m["param_norm"])
         if self.tcfg.nan_debug and not math.isfinite(agg["loss"]):
             from ..utils import debug as _dbg
 

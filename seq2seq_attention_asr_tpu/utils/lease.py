@@ -50,8 +50,11 @@ def _owner(path: str):
 
 def _would_use_chip() -> bool:
     """True when this process will talk to the real chip: not forced to
-    CPU via BENCH_CPU or JAX_PLATFORMS=cpu."""
+    CPU via BENCH_CPU, JAX_PLATFORMS=cpu, or a tool's --cpu flag (the
+    chip tools translate --cpu into jax.config before backend init)."""
     if os.environ.get("BENCH_CPU"):
+        return False
+    if "--cpu" in sys.argv:
         return False
     plats = os.environ.get("JAX_PLATFORMS", "")
     if plats and "axon" not in plats and "tpu" not in plats:

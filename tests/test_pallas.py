@@ -511,3 +511,52 @@ def test_beam_search_bf16_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got.scores), np.asarray(want.scores), rtol=2e-3, atol=2e-3
     )
+
+
+@pytest.mark.parametrize("fm", [0, 6])
+def test_attention_scan_penalty_active_matches_xla(fm):
+    """Penalty-active configs (mono_align && penalty_lambda > 0) on the
+    FUSED path (VERDICT r3 next-round #5): the monotonic ramp is
+    injected outside the kernel (monotonic_alignment_seq on the saved
+    alpha sequence), so fused forward (incl. the reported penalty) and
+    ALL gradients must match the XLA scan path, for both content-only
+    and location-aware attention."""
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=24, filt_size=5, feature_maps=fm, state_depth=16,
+        annotation_depth=20, output_depth=7,
+        readout=(("maxout", 12, 7), ("linear", 7)), cell="gru",
+        mono_align=True, penalty_lambda=0.4,
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    b, l, t, v = 8, 16, 5, 7
+    h = jnp.asarray(rng.randn(b, l, 20), jnp.float32)
+    enc_len = jnp.asarray([16, 12, 16, 9, 16, 16, 11, 16])
+    oh = jax.nn.one_hot(jnp.asarray(rng.randint(0, v, (b, t))), v)
+    dm = (jnp.arange(t)[None, :]
+          < jnp.asarray([5, 4, 5, 2, 5, 5, 3, 5])[:, None]).astype(jnp.float32)
+
+    o_x = att.decode_teacher_forced(params, cfg, h, enc_len, oh, dm,
+                                    backend="xla")
+    o_p = att.decode_teacher_forced(params, cfg, h, enc_len, oh, dm,
+                                    backend="pallas")
+    # the injection must have something to fire on
+    assert float(jnp.sum(o_x["penalty"] > 0)) > 0
+    for k, tol in (("logprobs", 2e-5), ("alpha", 2e-6), ("penalty", 2e-5)):
+        np.testing.assert_allclose(np.asarray(o_p[k]), np.asarray(o_x[k]),
+                                   atol=tol, err_msg=k)
+
+    def loss(be, p, hh):
+        out = att.decode_teacher_forced(p, cfg, hh, enc_len, oh, dm,
+                                        backend=be)
+        return -jnp.sum(out["logprobs"] * oh * dm[..., None]) + jnp.sum(
+            out["alpha"] ** 2
+        )
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(params, h)
+    gp = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(params, h)
+    for a, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)

@@ -76,6 +76,30 @@ def main():
     )
     ap.add_argument("--stage-epochs", default=None,
                     help="timit-shape stage lengths 'boot,full,awn'")
+    ap.add_argument("--awn-only", action="store_true",
+                    help="run ONLY the AWN stage, initialized from "
+                         "--from-ckpt (a boot/full-stage Trainer ckpt)")
+    ap.add_argument("--from-ckpt", default=None,
+                    help="Trainer checkpoint to initialize --awn-only from")
+    ap.add_argument("--awn-lambda", type=float, default=None,
+                    help="AWN KL weight (default 1/N_train, the Graves/"
+                         "reference scaling — AdaptiveWeightNoise.lua:18). "
+                         "Under adadelta the KL pull gets scale-invariant "
+                         "full-size steps, so on BATCHED steps (batch-mean "
+                         "NLL grads ~sqrt(b) smaller than the reference's "
+                         "per-sample steps) 1/N drains mu toward the prior "
+                         "mean within an epoch (measured: |mu| 83->0.8 in "
+                         "200 steps); docs/AWN_NOTES.md derives the stable "
+                         "operating range.")
+    ap.add_argument("--awn-sigma-init", type=float, default=0.01,
+                    help="AWN posterior init sigma. The reference default "
+                         "0.075 (timit.lua:36) targets FROM-SCRATCH "
+                         "training (init weight scale ~0.06); on a TRAINED "
+                         "colnorm-1.0 model it is ~1.3x the param rms and "
+                         "collapses the model unrecoverably (measured: "
+                         "sampled NLL 5.4-5.9 vs 1.26 at mu; the r3 awn "
+                         "stage sat at the unigram plateau for 200 "
+                         "epochs). 0.01 leaves sampled NLL at 1.30.")
     ap.add_argument("--save-dir", default=None,
                     help="Trainer checkpoint dir (+ best-PER eval export)")
     ap.add_argument("--compute-dtype", default=None,
@@ -270,8 +294,8 @@ def run_timit_shape(args):
         },
         "recipe": (
             "adadelta(0.95,1e-8) normalizeNLL colnorm1.0 dropout0.5 "
-            f"beam_k=5; stage3 AWN(lambda=1/{n_train},sigma0=0.075); "
-            f"length curriculum {stages}"
+            f"beam_k=5; stage3 AWN(lambda=1/{n_train},"
+            f"sigma0={args.awn_sigma_init}); length curriculum {stages}"
         ),
     }
     print(f"backend={meta['backend']} model={meta['model']} "
@@ -300,31 +324,55 @@ def run_timit_shape(args):
             synthetic.prototype_table(61, 123, args.seed),
             noise=args.noise, seed=args.seed,
         )
-    boot_batcher = batching.CachedDeviceBatcher(
-        batching.BucketedBatcher.from_dataset(boot, batch, n_buckets=2),
-        seed=args.seed, synth=synth,
-    )
     full_batcher = batching.CachedDeviceBatcher(
         batching.BucketedBatcher.from_dataset(train, batch, n_buckets=3),
         seed=args.seed, synth=synth,
     )
-    _fit_logged(tr, boot, valid, boot_batcher,
-                max(args.decode_every * 5, 20), rows, t0, meta, args.out,
-                stage="boot")
+    if args.awn_only:
+        # stage-3-only rerun: initialize from a saved boot/full-stage
+        # Trainer checkpoint instead of repeating the curriculum
+        assert args.from_ckpt, "--awn-only needs --from-ckpt"
+        from seq2seq_attention_asr_tpu.train import checkpoint
 
-    # stage 2: same trainer/params, whole corpus
-    tr.save_dir = sd("full") or tr.save_dir
-    tr.tcfg = dataclasses.replace(tr.tcfg, num_epochs=stages[0] + stages[1])
-    _fit_logged(tr, train, valid, full_batcher, args.decode_every,
-                rows, t0, meta, args.out, stage="full")
+        tcfg0 = trainer_lib.TrainConfig(
+            num_epochs=1, batch_size=batch, normalize_nll=True,
+            beam_k=5, seed=args.seed,
+        )
+        tr = trainer_lib.Trainer(model, _ocfg(), tcfg0, vocab=vocab)
+        tr.init(model.init(jax.random.PRNGKey(args.seed)))
+        like = {"state": tr.state, "epoch": 0, "best": dict(tr.best)}
+        blob = checkpoint.load(args.from_ckpt, like=like)
+        tr.state = blob["state"]
+        meta["recipe"] += f"; awn-only from {args.from_ckpt} (ep {blob['epoch']})"
+        print(f"awn-only: loaded {args.from_ckpt} at epoch {blob['epoch']} "
+              f"best={blob['best']}", flush=True)
+    else:
+        boot_batcher = batching.CachedDeviceBatcher(
+            batching.BucketedBatcher.from_dataset(boot, batch, n_buckets=2),
+            seed=args.seed, synth=synth,
+        )
+        _fit_logged(tr, boot, valid, boot_batcher,
+                    max(args.decode_every * 5, 20), rows, t0, meta,
+                    args.out, stage="boot")
+
+        # stage 2: same trainer/params, whole corpus
+        tr.save_dir = sd("full") or tr.save_dir
+        tr.tcfg = dataclasses.replace(tr.tcfg, num_epochs=stages[0] + stages[1])
+        _fit_logged(tr, train, valid, full_batcher, args.decode_every,
+                    rows, t0, meta, args.out, stage="full")
 
     # stage 3: AdaptiveWeightNoise on (lambda ~= 1/N_train, Graves 2011;
     # AdaptiveWeightNoise.lua:18 "equals 1/B"), dropout still active —
-    # the hundreds-of-epochs stability evidence with colnorm-on-mu
+    # the hundreds-of-epochs stability evidence with colnorm-on-mu.
+    # sigma0 comes from --awn-sigma-init: the reference default 0.075 is
+    # a FROM-SCRATCH scale and destroys a trained model (see the flag's
+    # help text and runs/convergence_timit_shape.json notes).
+    lam = args.awn_lambda if args.awn_lambda is not None else 1.0 / n_train
+    meta["recipe"] += f"; awn lambda={lam:g} sigma0={args.awn_sigma_init}"
     tcfg3 = trainer_lib.TrainConfig(
         num_epochs=stages[2], batch_size=batch, normalize_nll=True,
         beam_k=5, seed=args.seed + 1, noise="awn",
-        awn_lambda=1.0 / n_train, awn_sigma_init=0.075,
+        awn_lambda=lam, awn_sigma_init=args.awn_sigma_init,
     )
     tr3 = trainer_lib.Trainer(model, _ocfg(), tcfg3, vocab=vocab,
                               save_dir=sd("awn"))
