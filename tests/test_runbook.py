@@ -22,19 +22,40 @@ _PHONES = [
 ]
 
 
-def _write_utt(dirname, stem, phones, seed, n_samp=9600):
+def _write_sphere(path, pcm16, sr=16000):
+    """Real NIST SPHERE file (TIMIT's actual .WAV container) so the
+    runbook exercises data/audio.py::read_sphere through the full CLI."""
+    body = pcm16.astype("<i2").tobytes()
+    lines = [
+        "NIST_1A", "   1024",
+        f"sample_rate -i {sr}",
+        "channel_count -i 1",
+        "sample_n_bytes -i 2",
+        f"sample_count -i {len(pcm16)}",
+        "sample_byte_format -s2 01",
+        "sample_coding -s3 pcm",
+        "end_head",
+    ]
+    header = ("\n".join(lines) + "\n").encode("latin-1")
+    with open(path, "wb") as f:
+        f.write(header.ljust(1024, b" "))
+        f.write(body)
+
+
+def _write_utt(dirname, stem, phones, seed, n_samp=9600, sphere=False):
     os.makedirs(dirname, exist_ok=True)
     rng = np.random.RandomState(seed)
     t = np.arange(n_samp) / 16000.0
     pcm = 0.2 * np.sin(2 * np.pi * (200 + 40 * seed) * t)
     pcm += 0.05 * rng.randn(n_samp)
-    import scipy.io.wavfile as wavfile
+    pcm16 = (pcm * 32767).astype(np.int16)
+    wav = os.path.join(dirname, stem + ".WAV")
+    if sphere:
+        _write_sphere(wav, pcm16)
+    else:
+        import scipy.io.wavfile as wavfile
 
-    wavfile.write(
-        os.path.join(dirname, stem + ".WAV"),
-        16000,
-        (pcm * 32767).astype(np.int16),
-    )
+        wavfile.write(wav, 16000, pcm16)
     edges = np.linspace(0, n_samp, len(phones) + 1).astype(int)
     with open(os.path.join(dirname, stem + ".PHN"), "w") as f:
         for p, a, b in zip(phones, edges[:-1], edges[1:]):
@@ -44,16 +65,19 @@ def _write_utt(dirname, stem, phones, seed, n_samp=9600):
 @pytest.fixture(scope="module")
 def timit_tree(tmp_path_factory):
     root = tmp_path_factory.mktemp("timit_root")
-    # MTLB0 is in the standard 50-speaker validation split
-    _write_utt(str(root / "TRAIN/DR1/MTLB0"), "SX1", _PHONES[0], 1)
+    # MTLB0 is in the standard 50-speaker validation split. Half the
+    # tree is real NIST SPHERE (TIMIT's actual container), half RIFF —
+    # both must flow through the same CLI (real TIMIT mounts are
+    # SPHERE; re-exported copies are often RIFF).
+    _write_utt(str(root / "TRAIN/DR1/MTLB0"), "SX1", _PHONES[0], 1, sphere=True)
     _write_utt(str(root / "TRAIN/DR1/MTLB0"), "SI1", _PHONES[1], 2)
-    _write_utt(str(root / "TRAIN/DR2/FAAA0"), "SX2", _PHONES[2], 3)
+    _write_utt(str(root / "TRAIN/DR2/FAAA0"), "SX2", _PHONES[2], 3, sphere=True)
     _write_utt(str(root / "TRAIN/DR2/FAAA0"), "SI2", _PHONES[3], 4)
-    _write_utt(str(root / "TRAIN/DR3/MBBB0"), "SX3", _PHONES[0], 5)
+    _write_utt(str(root / "TRAIN/DR3/MBBB0"), "SX3", _PHONES[0], 5, sphere=True)
     _write_utt(str(root / "TRAIN/DR3/MBBB0"), "SI3", _PHONES[1], 6)
     # SA sentences must be skipped (preprocess_timit.py:37-59 parity)
     _write_utt(str(root / "TRAIN/DR2/FAAA0"), "SA1", _PHONES[0], 7)
-    _write_utt(str(root / "TEST/DR1/MCCC0"), "SX4", _PHONES[2], 8)
+    _write_utt(str(root / "TEST/DR1/MCCC0"), "SX4", _PHONES[2], 8, sphere=True)
     return str(root)
 
 
@@ -88,6 +112,15 @@ def test_runbook_preprocess_train_extract(timit_tree, tmp_path):
     assert "valid_per=" in out
     rows = [json.loads(l) for l in open(os.path.join(save, "log.jsonl"))]
     assert rows and "valid_per" in rows[-1]
+    # beam-PER through the full CLI must be a FINITE, sane rate
+    # (VERDICT r3 next-round #8: day-one readiness when real audio
+    # mounts): 61->39 fold + Wagner-Fischer on beam output; one
+    # untrained epoch => a few insertions per target token is normal
+    # (beam budget is the frame count, targets are ~7 tokens), but the
+    # rate must be finite and bounded, never NaN/inf/garbage.
+    per = float(rows[-1]["valid_per"])
+    assert np.isfinite(per) and 0.0 <= per < 10.0, per
+    assert np.isfinite(float(rows[-1]["valid_nll"]))
     assert os.path.isdir(os.path.join(save, "ckpt_latest"))
     # the config self-archives (exp_logmel7:16-22 parity)
     assert os.path.exists(os.path.join(save, "experiment.json"))
