@@ -71,6 +71,13 @@ def main():
         help="quarter-size model for quick smoke runs",
     )
     ap.add_argument(
+        "--model", default="chorowski",
+        choices=("chorowski", "conv_bilstm"),
+        help="conv_bilstm = the 8x time-downsampling short-recurrence "
+             "recipe (timit/timit.lua:98-169) — the PERF.md MFU-ceiling "
+             "experiment (default-mode corpus only)",
+    )
+    ap.add_argument(
         "--timit-shape", action="store_true",
         help="61-phone TIMIT-shaped corpus + full recipe (AWN + dropout)",
     )
@@ -141,14 +148,29 @@ def main():
         "feat_dim": 123,
     }
 
-    dims = _dims(args.small)
-    # canonical recipe: content+state attention (featureMaps 0), GRU
-    # decoder, maxout readout, adadelta(0.95, 1e-8), normalized NLL,
-    # column-norm constraint (exp_logmel7_chorowski_normNLL_colnorm.lua)
-    model = registry.build(
-        "chorowski", input_frame_size=123, output_depth=v,
-        feature_maps=0, filt_size=10, **dims,
-    )
+    if args.model == "conv_bilstm":
+        # the short-recurrence recipe (8x conv+pool downsampling, LSTM
+        # decoder, location-aware featMaps 16 — timit/timit.lua:98-169)
+        dims = (
+            dict(hidden_frame_size=64, output_frame_size=32,
+                 score_depth=64, state_depth=100)
+            if args.small
+            else dict(hidden_frame_size=256, output_frame_size=128,
+                      score_depth=150, state_depth=400)
+        )
+        model = registry.build(
+            "conv_bilstm", input_frame_size=123, output_depth=v,
+            feature_maps=16, filt_size=5, **dims,
+        )
+    else:
+        dims = _dims(args.small)
+        # canonical recipe: content+state attention (featureMaps 0), GRU
+        # decoder, maxout readout, adadelta(0.95, 1e-8), normalized NLL,
+        # column-norm constraint (exp_logmel7_chorowski_normNLL_colnorm.lua)
+        model = registry.build(
+            "chorowski", input_frame_size=123, output_depth=v,
+            feature_maps=0, filt_size=10, **dims,
+        )
     tcfg = trainer_lib.TrainConfig(
         num_epochs=epochs, batch_size=batch,
         normalize_nll=True, beam_k=5, seed=args.seed,
@@ -163,7 +185,7 @@ def main():
 
     meta = {
         "backend": jax.default_backend(),
-        "model": {"name": "chorowski", **dims, "output_depth": v},
+        "model": {"name": args.model, **dims, "output_depth": v},
         "corpus": corpus_desc,
         "recipe": "adadelta(0.95,1e-8) normalizeNLL beam_k=5 (canonical)",
     }
