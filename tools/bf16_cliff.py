@@ -52,19 +52,28 @@ def main():
                   score_depth=512, state_depth=256, mlp_depth=64)
     )
     shapes = [(32, 80), (64, 80), (32, 144), (64, 144), (128, 144)]
+    # (dtype, backend, penalty_lambda, shapes-or-None=all). The penalty
+    # rows measure the monotonic-penalty cost on the fused path
+    # (VERDICT r3 next-round #5: recipes with monoAlign need a
+    # published operating point) at the flagship bench shape.
     variants = [
-        ("f32", "pallas"), ("f32", "xla"),
-        ("bf16", "pallas"), ("bf16", "xla"),
+        ("f32", "pallas", 0.0, None), ("f32", "xla", 0.0, None),
+        ("bf16", "pallas", 0.0, None), ("bf16", "xla", 0.0, None),
+        ("bf16", "pallas", 0.1, [(128, 144)]),
+        ("bf16", "xla", 0.1, [(128, 144)]),
+        ("f32", "pallas", 0.1, [(32, 80)]),
     ]
     if args.cpu:  # smoke: one shape, fewer steps
         shapes, args.steps = [(32, 80)], 2
+        variants = [v[:3] + ([(32, 80)],) for v in variants[:2]]
 
     rows = []
     rng = np.random.RandomState(0)
-    for dt_name, backend in variants:
+    for dt_name, backend, plam, vshapes in variants:
         model = registry.build(
             "chorowski", input_frame_size=123, output_depth=62,
             feature_maps=0, filt_size=10, scan_unroll=8,
+            penalty_lambda=plam,
             compute_dtype="bfloat16" if dt_name == "bf16" else "float32",
             rnn_backend=backend, attn_backend=backend, **dims,
         )
@@ -75,7 +84,7 @@ def main():
             model.forward, tx, ocfg, tcfg, 62
         )
         step_jit = jax.jit(step_fn, donate_argnums=0)
-        for b, l in shapes:
+        for b, l in (vshapes or shapes):
             t_len = max(l // 3 // 16 * 16, 16)
             x = jnp.asarray(rng.randn(b, l, 123), jnp.float32)
             x_len = jnp.asarray(np.full(b, l, np.int32))
@@ -96,11 +105,13 @@ def main():
             except Exception as e:  # shape unsupported on this path
                 ms, err = None, f"{type(e).__name__}: {e}"[:200]
                 rows.append({"dtype": dt_name, "backend": backend,
-                             "b": b, "l": l, "t": t_len, "error": err})
+                             "penalty": plam, "b": b, "l": l,
+                             "t": t_len, "error": err})
                 print(rows[-1], flush=True)
                 continue
-            rows.append({"dtype": dt_name, "backend": backend, "b": b,
-                         "l": l, "t": t_len, "ms_per_step": round(ms, 3)})
+            rows.append({"dtype": dt_name, "backend": backend,
+                         "penalty": plam, "b": b, "l": l, "t": t_len,
+                         "ms_per_step": round(ms, 3)})
             print(rows[-1], flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
