@@ -51,20 +51,22 @@ def main():
         else dict(hidden_frame_size=256, output_frame_size=256,
                   score_depth=512, state_depth=256, mlp_depth=64)
     )
-    shapes = [(32, 80), (64, 80), (32, 144), (64, 144), (128, 144)]
-    # (dtype, backend, penalty_lambda, shapes-or-None=all). The penalty
-    # rows measure the monotonic-penalty cost on the fused path
-    # (VERDICT r3 next-round #5: recipes with monoAlign need a
-    # published operating point) at the flagship bench shape.
+    shapes = None  # every variant lists its shapes explicitly
+    # (dtype, backend, penalty_lambda, shapes). Kept lean: every
+    # (variant, shape) is a fresh full-train-step compile and compiles
+    # cost minutes over the tunnel. The penalty rows measure the
+    # monotonic-penalty cost on the fused path (VERDICT r3 next-round
+    # #5: recipes with monoAlign need a published operating point).
     variants = [
-        ("f32", "pallas", 0.0, None), ("f32", "xla", 0.0, None),
-        ("bf16", "pallas", 0.0, None), ("bf16", "xla", 0.0, None),
+        ("f32", "pallas", 0.0, [(32, 80), (64, 80)]),
+        ("bf16", "pallas", 0.0, [(32, 80), (64, 80), (128, 144)]),
+        ("bf16", "xla", 0.0, [(32, 80), (128, 144)]),
         ("bf16", "pallas", 0.1, [(128, 144)]),
         ("bf16", "xla", 0.1, [(128, 144)]),
         ("f32", "pallas", 0.1, [(32, 80)]),
     ]
     if args.cpu:  # smoke: one shape, fewer steps
-        shapes, args.steps = [(32, 80)], 2
+        args.steps = 2
         variants = [v[:3] + ([(32, 80)],) for v in variants[:2]]
 
     rows = []
