@@ -947,16 +947,35 @@ def choose_block(batch: int, l: int, s_dim: int, a_dim: int,
                  dtype=jnp.float32) -> int:
     """Largest batch block whose scoped-VMEM footprint fits.
 
-    Bigger blocks matter: at block 8 the per-step matmuls occupy only
-    8/128 MXU sublanes and the backward measured 6x slower than at
-    block 16/32 (TIMIT recipe shapes). The footprint model
+    Bigger blocks matter twice: at block 8 the per-step matmuls occupy
+    only 8/128 MXU sublanes (backward measured 6x slower than block
+    16/32 at TIMIT recipe shapes), and the grid is (B/bb, T) with every
+    cell SEQUENTIAL — halving cell count halves the per-cell
+    fill/drain tax the recurrence pays. The footprint model
     ~5 * bb*L*(S+A)*4 bytes is calibrated against Mosaic's reported
-    scoped allocations (19 MB at bb=8, L=144, S=A=512 backward).
+    scoped allocations (19 MB at bb=8, L=144, S=A=512 backward, f32).
+    Under bf16 the resident Vh/h IO blocks are 2-byte while the f32
+    step intermediates keep their size — measured scaling factor ~3.25
+    (i.e. block 64 bf16 fits the same budget block 32 f32 does).
     bf16 tiles want 16 sublanes, so blocks of 8 are float32-only.
+
+    ATTN_SCAN_BLOCK_B overrides for experiments (tools/block_tune.py).
     """
-    blocks = (32, 16) if dtype == jnp.bfloat16 else (32, 16, 8)
+    import os
+
+    forced = int(os.environ.get("ATTN_SCAN_BLOCK_B", "0"))
+    if forced:
+        return forced if batch % forced == 0 else 0
+    # block 64 bf16 likely fits (the ~3.25x bf16 bytes-scale) but stays
+    # behind ATTN_SCAN_BLOCK_B until tools/block_tune.py measures it
+    # faster on real hardware — flip the tuple to (64, 32, 16) then.
+    if dtype == jnp.bfloat16:
+        blocks, bytes_scale = (32, 16), 3.25
+    else:
+        blocks, bytes_scale = (32, 16, 8), 5.0
     for bb in blocks:
-        if batch % bb == 0 and 5 * bb * l * (s_dim + a_dim) * 4 <= _VMEM_BUDGET:
+        if (batch % bb == 0
+                and bytes_scale * bb * l * (s_dim + a_dim) * 4 <= _VMEM_BUDGET):
             return bb
     return 0
 

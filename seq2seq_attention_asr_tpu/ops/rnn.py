@@ -240,7 +240,11 @@ def bilstm_layer(
             bwd = flip_sequences(bwd, lengths)
         else:
             bwd = bwd[:, ::-1]
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        # lstm_scan carries/outputs float32; hand back the input dtype
+        # so bf16 models stay bf16 end-to-end (the XLA branch below
+        # already does — a f32 annotation under bf16 compute broke the
+        # conv_bilstm location conv with a dtype mismatch on TPU).
+        return jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)
     fwd = lstm_layer(params["fwd"], x, lengths, reverse=False, unroll=unroll)
     bwd = lstm_layer(params["bwd"], x, lengths, reverse=True, unroll=unroll)
     return jnp.concatenate([fwd, bwd], axis=-1)

@@ -560,3 +560,22 @@ def test_attention_scan_penalty_active_matches_xla(fm):
     for a, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_bilstm_layer_bf16_output_dtype():
+    """Under bf16 compute the fused bilstm must hand back bf16 like the
+    XLA branch does — a f32 annotation broke the conv_bilstm location
+    conv with a dtype mismatch on TPU (caught by the r4 bench)."""
+    from seq2seq_attention_asr_tpu.ops import rnn
+
+    params = rnn.bilstm_init(jax.random.PRNGKey(0), 16, 128)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 12, 16), jnp.bfloat16)
+    lengths = jnp.array([12, 9, 7, 12, 3, 11, 12, 5])
+    got = rnn.bilstm_layer(p16, x, lengths, backend="pallas")
+    assert got.dtype == jnp.bfloat16
+    want = rnn.bilstm_layer(p16, x, lengths, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.05,
+    )

@@ -182,6 +182,10 @@ def main():
 
     tr.init(model.init(_jax.random.PRNGKey(args.seed)))
     batcher = batching.BucketedBatcher.from_dataset(train, batch, n_buckets=4)
+    if jax.default_backend() not in ("cpu",):
+        # tunneled chip: stage batches on device ONCE (CLAUDE.md — a
+        # per-step host batch transfer costs ~40x the step itself)
+        batcher = batching.CachedDeviceBatcher(batcher, seed=args.seed)
 
     meta = {
         "backend": jax.default_backend(),
