@@ -317,7 +317,15 @@ def _main():
             feature_maps=0, filt_size=10, scan_unroll=8,
             compute_dtype="bfloat16",
         )
-        tparams = ckpt_lib.load(ckpt, like=model_t.init(jax.random.PRNGKey(0)))
+        # device_put ONCE: checkpoint loads return HOST numpy arrays,
+        # and a host-resident params arg re-ships ~27 MB over the
+        # ~8 MB/s tunnel on EVERY jitted call (measured: 1.33 s/call
+        # vs 34 ms with device-resident params — this was BENCH_r04's
+        # first decode_trained number being 52x too slow).
+        tparams = jax.tree.map(
+            jnp.asarray,
+            ckpt_lib.load(ckpt, like=model_t.init(jax.random.PRNGKey(0))),
+        )
         _, valid, _ = synthetic.timit_shaped(1, 192, seed=1)
         keep = [i for i in range(len(valid)) if len(valid.x[i]) <= l]
         idx = (keep * (b // len(keep) + 1))[:b]

@@ -966,9 +966,10 @@ def choose_block(batch: int, l: int, s_dim: int, a_dim: int,
     forced = int(os.environ.get("ATTN_SCAN_BLOCK_B", "0"))
     if forced:
         return forced if batch % forced == 0 else 0
-    # block 64 bf16 likely fits (the ~3.25x bf16 bytes-scale) but stays
-    # behind ATTN_SCAN_BLOCK_B until tools/block_tune.py measures it
-    # faster on real hardware — flip the tuple to (64, 32, 16) then.
+    # block 64 bf16 was tried (runs/block_tune.json): the bf16 IO
+    # blocks would fit a ~3.25x bytes-scale, but the kernel FAILS TO
+    # COMPILE at bb=64 on real v5e (Mosaic rejects it; the f32 step
+    # intermediates (bb, L, S) blow the scoped-VMEM budget) — keep 32.
     if dtype == jnp.bfloat16:
         blocks, bytes_scale = (32, 16), 3.25
     else:

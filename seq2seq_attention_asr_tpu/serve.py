@@ -102,7 +102,12 @@ class Transcriber:
 
         self._jax, self._jnp = jax, jnp
         self.model = model
-        self.params = params
+        # device-resident ONCE: params loaded from a checkpoint are
+        # host numpy arrays, and a host-resident jit arg re-uploads the
+        # whole model every transcribe() call (catastrophic over a slow
+        # host<->device link — measured 1.33 s/call vs 34 ms on the
+        # tunneled chip).
+        self.params = jax.tree.map(jnp.asarray, params)
         self.eos_id = int(eos_id)
         self.mean = None if mean is None else np.asarray(mean, np.float32)
         self.std = None if std is None else np.asarray(std, np.float32)
