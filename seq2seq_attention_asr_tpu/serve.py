@@ -120,6 +120,10 @@ class Transcriber:
         # n_samples mode) for every bucket member; False runs the fused
         # Pallas kernel over the padded buffer (faster, tail frames'
         # features deviate within the batch padding convention).
+        # Measured cost of exact=True (one v5e chip, BENCH r4): p50
+        # 94.7 ms vs 82.1 ms at b=1, 151.4 vs 126.8 ms at b=8 —
+        # ~15-19%. Keep the default for parity; flip to False when
+        # front-end bit-exactness does not matter.
         self.exact = bool(exact)
         self.id_to_text = id_to_text
         self.frame_bucket = int(frame_bucket)
