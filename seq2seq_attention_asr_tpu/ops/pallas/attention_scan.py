@@ -963,17 +963,22 @@ def choose_block(batch: int, l: int, s_dim: int, a_dim: int,
     """
     import os
 
-    forced = int(os.environ.get("ATTN_SCAN_BLOCK_B", "0"))
-    if forced:
-        return forced if batch % forced == 0 else 0
     # block 64 bf16 was tried (runs/block_tune.json): the bf16 IO
     # blocks would fit a ~3.25x bytes-scale, but the kernel FAILS TO
     # COMPILE at bb=64 on real v5e (Mosaic rejects it; the f32 step
     # intermediates (bb, L, S) blow the scoped-VMEM budget) — keep 32.
     if dtype == jnp.bfloat16:
-        blocks, bytes_scale = (32, 16), 3.25
+        blocks, bytes_scale, sublane = (32, 16), 3.25, 16
     else:
-        blocks, bytes_scale = (32, 16, 8), 5.0
+        blocks, bytes_scale, sublane = (32, 16, 8), 5.0, 8
+    forced = int(os.environ.get("ATTN_SCAN_BLOCK_B", "0"))
+    if forced:
+        # experiment hook, still gated: a leftover export must not send
+        # production runs into the known-bad Mosaic shapes (sublane
+        # mismatch / scoped-VMEM blowup) with an opaque compile error
+        if forced % sublane != 0 or batch % forced != 0:
+            return 0
+        return forced
     for bb in blocks:
         if (batch % bb == 0
                 and bytes_scale * bb * l * (s_dim + a_dim) * 4 <= _VMEM_BUDGET):

@@ -77,26 +77,48 @@ def chip_lease(tag: str = "", path: str | None = None, force: bool = False):
         yield
         return
     me = {"pid": os.getpid(), "tag": tag or " ".join(sys.argv[:3])}
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-            with os.fdopen(fd, "w") as f:
-                json.dump(me, f)
-            break
-        except FileExistsError:
+    # Acquire by atomic os.link of a fully-written temp file: the lock
+    # is never observable in a half-written state (a reader of an empty
+    # file would misclassify a LIVE lock as stale), and creation+content
+    # are one atomic step.
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(me, f)
+    try:
+        while True:
+            try:
+                os.link(tmp, path)
+                break
+            except FileExistsError:
+                pass
             owner = _owner(path)
             if owner and _pid_alive(int(owner.get("pid", -1))):
-                raise SystemExit(
+                print(
                     f"chip lease held by pid {owner['pid']} "
                     f"({owner.get('tag', '?')}) — one chip client at a "
                     f"time (see CLAUDE.md). Let it finish, or if it is "
-                    f"truly gone remove {path}. rc=3"
-                ) from None
-            # stale lock (owner dead): reclaim and retry
+                    f"truly gone remove {path}.",
+                    file=sys.stderr,
+                )
+                raise SystemExit(3) from None
+            # Stale lock (owner dead, or unreadable leftover): exactly
+            # ONE contender reclaims it via atomic rename — a plain
+            # unlink could delete a FRESH lock some other contender
+            # just installed in the race window.
+            stale = f"{path}.stale.{os.getpid()}"
             try:
-                os.unlink(path)
+                os.rename(path, stale)
+            except FileNotFoundError:
+                continue  # someone else reclaimed it; retry the link
+            try:
+                os.unlink(stale)
             except FileNotFoundError:
                 pass
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     try:
         yield
     finally:

@@ -123,7 +123,7 @@ def test_chip_lease_excludes_second_client(tmp_path, monkeypatch):
         with pytest.raises(SystemExit) as e:
             with lease.chip_lease("second", path=path):
                 pass
-        assert "chip lease held" in str(e.value)
+        assert e.value.code == 3  # distinguishes "busy" from a crash
         # force override still works mid-lease
         with lease.chip_lease("forced", path=path, force=True):
             pass

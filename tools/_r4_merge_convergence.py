@@ -43,15 +43,21 @@ meta["notes"] = {
     "best_valid_per_no_awn": min(full_pers) if full_pers else None,
     "best_valid_per_awn": min(awn_pers) if awn_pers else None,
 }
-comparison = (
-    "AWN beats the no-AWN PER"
-    if awn_pers and full_pers and min(awn_pers) < min(full_pers)
-    else "AWN does NOT beat the no-AWN PER"
-)
-meta["notes"]["verdict"] = (
-    f"{comparison}: best no-AWN {min(full_pers):.4f} vs best AWN "
-    f"{min(awn_pers):.4f} (held-out beam K=5, 61->39 fold)."
-)
+if awn_pers and full_pers:
+    comparison = (
+        "AWN beats the no-AWN PER"
+        if min(awn_pers) < min(full_pers)
+        else "AWN does NOT beat the no-AWN PER"
+    )
+    meta["notes"]["verdict"] = (
+        f"{comparison}: best no-AWN {min(full_pers):.4f} vs best AWN "
+        f"{min(awn_pers):.4f} (held-out beam K=5, 61->39 fold)."
+    )
+else:
+    meta["notes"]["verdict"] = (
+        "incomplete: a stage produced no decoded epochs "
+        f"(no-AWN PER rows: {len(full_pers)}, AWN PER rows: {len(awn_pers)})"
+    )
 
 main["trajectory"] = kept + failed + new
 with open("runs/convergence_timit_shape.json", "w") as f:

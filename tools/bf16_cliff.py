@@ -1,15 +1,16 @@
 #!/usr/bin/env python3
 """bf16 small-batch cliff measurement (VERDICT r3 next-round #7).
 
-CLAUDE.md records that the fused bf16 train kernels are SLOW at batch
-32 (25 ms/step vs 4.2 ms f32 fused at b=32, L=80) while being the
-clear winner at b=128. This sweep measures the full train step across
-(compute_dtype, kernel backend) x (batch, L) so `backend="auto"` can
-refuse bf16-fused at shapes where it loses, instead of letting users
-hit the cliff silently.
+CLAUDE.md once recorded the fused bf16 train kernels as SLOW at batch
+32 (25 ms/step vs 4.2 ms f32 fused at b=32, L=80). This sweep measures
+the full train step across (compute_dtype, kernel backend, penalty) x
+(batch, L) so `backend="auto"` can be guarded if bf16-fused ever loses
+— the r4 run (runs/bf16_cliff.json) showed the cliff is GONE (bf16
+fused wins at every measured shape), so no guard is installed; re-run
+this before re-introducing one.
 
-Rows: ms/step for {f32-pallas, f32-xla, bf16-pallas, bf16-xla} at each
-shape. Writes JSON; the chosen auto-path guard cites this file.
+The penalty rows measure the monotonic-penalty cost on the fused path
+(VERDICT r3 next-round #5) at the flagship bench shape.
 
 Usage: python tools/bf16_cliff.py --out runs/bf16_cliff.json [--cpu --small]
 """
@@ -18,11 +19,10 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np  # noqa: E402
+from tools.steptime import measure_train_step  # noqa: E402
 
 
 def main():
@@ -37,12 +37,6 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    import jax
-    import jax.numpy as jnp
-
-    from seq2seq_attention_asr_tpu.models import registry
-    from seq2seq_attention_asr_tpu.train import optim as optim_lib
-    from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
 
     dims = (
         dict(hidden_frame_size=32, output_frame_size=32, score_depth=64,
@@ -51,12 +45,9 @@ def main():
         else dict(hidden_frame_size=256, output_frame_size=256,
                   score_depth=512, state_depth=256, mlp_depth=64)
     )
-    shapes = None  # every variant lists its shapes explicitly
     # (dtype, backend, penalty_lambda, shapes). Kept lean: every
     # (variant, shape) is a fresh full-train-step compile and compiles
-    # cost minutes over the tunnel. The penalty rows measure the
-    # monotonic-penalty cost on the fused path (VERDICT r3 next-round
-    # #5: recipes with monoAlign need a published operating point).
+    # cost minutes over the tunnel.
     variants = [
         ("f32", "pallas", 0.0, [(32, 80), (64, 80)]),
         ("bf16", "pallas", 0.0, [(32, 80), (64, 80), (128, 144)]),
@@ -70,59 +61,34 @@ def main():
         variants = [v[:3] + ([(32, 80)],) for v in variants[:2]]
 
     rows = []
-    rng = np.random.RandomState(0)
     for dt_name, backend, plam, vshapes in variants:
-        model = registry.build(
-            "chorowski", input_frame_size=123, output_depth=62,
+        mk = dict(
+            name="chorowski", input_frame_size=123, output_depth=62,
             feature_maps=0, filt_size=10, scan_unroll=8,
             penalty_lambda=plam,
             compute_dtype="bfloat16" if dt_name == "bf16" else "float32",
             rnn_backend=backend, attn_backend=backend, **dims,
         )
-        tcfg = trainer_lib.TrainConfig(normalize_nll=True)
-        ocfg = optim_lib.OptimConfig(colnorm=True, colnorm_maxval=1.0)
-        tx = optim_lib.build_optimizer(ocfg)
-        init_fn, step_fn = trainer_lib.make_train_step(
-            model.forward, tx, ocfg, tcfg, 62
-        )
-        step_jit = jax.jit(step_fn, donate_argnums=0)
-        for b, l in (vshapes or shapes):
+        for b, l in vshapes:
             t_len = max(l // 3 // 16 * 16, 16)
-            x = jnp.asarray(rng.randn(b, l, 123), jnp.float32)
-            x_len = jnp.asarray(np.full(b, l, np.int32))
-            y = jnp.asarray(rng.randint(0, 62, (b, t_len)))
-            dm = jnp.ones((b, t_len), jnp.float32)
-            batch = (x, x_len, y, dm)
-            state = init_fn(model.init(jax.random.PRNGKey(0)),
-                            jax.random.PRNGKey(1))
+            row = {"dtype": dt_name, "backend": backend, "penalty": plam,
+                   "b": b, "l": l, "t": t_len}
             try:
-                for _ in range(3):
-                    state, m = step_jit(state, batch)
-                float(m["loss"])
-                t0 = time.perf_counter()
-                for _ in range(args.steps):
-                    state, m = step_jit(state, batch)
-                float(m["loss"])
-                ms = (time.perf_counter() - t0) / args.steps * 1e3
+                ms, _ = measure_train_step(mk, b, l, t_len, args.steps)
+                row["ms_per_step"] = round(ms, 3)
             except Exception as e:  # shape unsupported on this path
-                ms, err = None, f"{type(e).__name__}: {e}"[:200]
-                rows.append({"dtype": dt_name, "backend": backend,
-                             "penalty": plam, "b": b, "l": l,
-                             "t": t_len, "error": err})
-                print(rows[-1], flush=True)
-                continue
-            rows.append({"dtype": dt_name, "backend": backend,
-                         "penalty": plam, "b": b, "l": l, "t": t_len,
-                         "ms_per_step": round(ms, 3)})
-            print(rows[-1], flush=True)
+                row["error"] = f"{type(e).__name__}: {e}"[:200]
+            rows.append(row)
+            print(row, flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({
             "methodology": (
-                "full train step (fwd+bwd+adadelta+colnorm), donated-state "
-                "chaining, final-loss sync; chorowski recipe dims; "
-                "backend forces BOTH rnn_backend and attn_backend"
+                "tools/steptime.py harness: full train step (fwd+bwd+"
+                "adadelta+colnorm), donated-state chaining, final-loss "
+                "sync; chorowski recipe dims; backend forces BOTH "
+                "rnn_backend and attn_backend"
             ),
             "rows": rows,
         }, f, indent=1)

@@ -3,10 +3,11 @@
 
 The fused attention scan's grid is (B/bb, T) with every cell
 SEQUENTIAL, so the per-cell fill/drain tax scales with B/bb. Under
-bf16 the VMEM-resident Vh/h blocks are 2-byte, so bb=64 should fit
-the budget bb=32 fits at f32 — this tool measures the full train step
-at forced block sizes (ATTN_SCAN_BLOCK_B) to decide whether
-choose_block's bf16 tuple should prefer 64.
+bf16 the VMEM-resident Vh/h blocks are 2-byte, so bb=64 looked like it
+should fit the budget bb=32 fits at f32 — this tool measures the full
+train step at forced block sizes (ATTN_SCAN_BLOCK_B). Result on v5e
+(runs/block_tune.json): bb=64 bf16 FAILS TO COMPILE (the f32 step
+intermediates blow the scoped-VMEM budget), so choose_block keeps 32.
 
 Usage: python tools/block_tune.py --out runs/block_tune.json
 """
@@ -14,54 +15,25 @@ Usage: python tools/block_tune.py --out runs/block_tune.json
 import argparse
 import json
 import os
+import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import numpy as np  # noqa: E402
 
 
 def measure(block_b, steps):
     os.environ["ATTN_SCAN_BLOCK_B"] = str(block_b)
-    import jax
-    import jax.numpy as jnp
+    from tools.steptime import measure_train_step
 
-    from seq2seq_attention_asr_tpu.models import registry
-    from seq2seq_attention_asr_tpu.train import optim as optim_lib
-    from seq2seq_attention_asr_tpu.train import trainer as trainer_lib
-
-    model = registry.build(
-        "chorowski", input_frame_size=123, output_depth=62,
+    mk = dict(
+        name="chorowski", input_frame_size=123, output_depth=62,
         feature_maps=0, filt_size=10, scan_unroll=8,
         compute_dtype="bfloat16",
         hidden_frame_size=256, output_frame_size=256, score_depth=512,
         state_depth=256, mlp_depth=64,
     )
-    tcfg = trainer_lib.TrainConfig(normalize_nll=True)
-    ocfg = optim_lib.OptimConfig(colnorm=True, colnorm_maxval=1.0)
-    tx = optim_lib.build_optimizer(ocfg)
-    init_fn, step_fn = trainer_lib.make_train_step(
-        model.forward, tx, ocfg, tcfg, 62
-    )
-    step_jit = jax.jit(step_fn, donate_argnums=0)
-    b, l, t = 128, 144, 48
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(b, l, 123), jnp.float32)
-    x_len = jnp.asarray(np.full(b, l, np.int32))
-    y = jnp.asarray(rng.randint(0, 62, (b, t)))
-    dm = jnp.ones((b, t), jnp.float32)
-    batch = (x, x_len, y, dm)
-    state = init_fn(model.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(1))
     try:
-        for _ in range(3):
-            state, m = step_jit(state, batch)
-        float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, m = step_jit(state, batch)
-        loss = float(m["loss"])
-        ms = (time.perf_counter() - t0) / steps * 1e3
+        ms, loss = measure_train_step(mk, 128, 144, 48, steps)
         return {"block_b": block_b, "ms_per_step": round(ms, 3),
                 "loss": round(loss, 4)}
     except Exception as e:
@@ -75,15 +47,14 @@ def main():
     ap.add_argument("--blocks", default="32,64")
     args = ap.parse_args()
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = []
     for bb in [int(x) for x in args.blocks.split(",")]:
         # fresh subprocess per block: the env override must be set
         # before the jit cache sees the shape
-        import subprocess
-
         r = subprocess.run(
             [sys.executable, "-c",
-             f"import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r}); "
+             f"import sys; sys.path.insert(0, {repo!r}); "
              f"from tools.block_tune import measure; import json; "
              f"print('ROW ' + json.dumps(measure({bb}, {args.steps})))"],
             capture_output=True, text=True, timeout=3000,
