@@ -38,6 +38,8 @@ class ConvBiLSTMConfig:
     mono_align: bool = True
     peepholes: bool = False
     scan_unroll: int = 1
+    rnn_backend: str = "auto"  # "auto" | "xla" | "pallas" (fused BiLSTM scan)
+    attn_backend: str = "auto"  # "auto" | "xla" | "pallas" (fused LSTM decoder)
     # "bfloat16": bf16 compute with f32 master params and log-softmax
     compute_dtype: str = "float32"
 
@@ -94,7 +96,8 @@ def encode(params: Params, cfg: ConvBiLSTMConfig, x: jnp.ndarray, lengths: jnp.n
         h = jax.nn.relu(conv.temporal_conv(enc[name], h))
         h = conv.temporal_max_pool(h, 2)
     out_lengths = encode_lengths(cfg, lengths)
-    h = rnn.bilstm_layer(enc["bilstm"], h, out_lengths, unroll=cfg.scan_unroll)
+    h = rnn.bilstm_layer(enc["bilstm"], h, out_lengths, unroll=cfg.scan_unroll,
+                         backend=cfg.rnn_backend)
     return h, out_lengths
 
 
@@ -127,4 +130,5 @@ def forward(
         dropout_rng=dropout_rng,
         train=train,
         unroll=cfg.scan_unroll,
+        backend=cfg.attn_backend,
     )

@@ -353,25 +353,39 @@ def decode_teacher_forced(
             block_b = _as.choose_block(
                 b, loc_l, cfg.score_depth, cfg.annotation_depth, h.dtype
             )
+            if cfg.cell == "lstm":
+                # fused gate kernel on concat(s_prev, r): recurrent
+                # rows first (cells.lstm_step: gates = x@w_x + h@w_h)
+                cw1 = jnp.concatenate(
+                    [params["cell"]["w_h"], params["cell"]["w_x"]], axis=0
+                )
+                cw2 = params["cell"]["b"][None, :]
+            else:
+                cw1 = params["cell"]["w_zr"]
+                cw2 = params["cell"]["w_h"]
             common = (
                 vh, h, enc_mask, yin,
                 params["ws"]["w"], params["ws"]["b"][None, :],
                 params["w_e"][None, :],
                 params["c_in"]["w"], params["c_in"]["b"][None, :],
                 params["dec_in"]["w"], params["dec_in"]["b"][None, :],
-                params["cell"]["w_zr"], params["cell"]["w_h"],
+                cw1, cw2,
             )
+            lstm = cfg.cell == "lstm"
             if cfg.feature_maps > 0:
                 lc = params["loc_conv"]
-                s_seq, c_seq, alpha_seq = _as.attention_decode_scan_loc(
+                fn = (_as.attention_decode_scan_loc_lstm if lstm
+                      else _as.attention_decode_scan_loc)
+                outs = fn(
                     *common,
                     lc["w"][:, 0, :], lc["b"][None, :], params["u"],
                     block_b, interpret,
                 )
             else:
-                s_seq, c_seq, alpha_seq = _as.attention_decode_scan(
-                    *common, block_b, interpret,
-                )
+                fn = (_as.attention_decode_scan_lstm if lstm
+                      else _as.attention_decode_scan)
+                outs = fn(*common, block_b, interpret)
+            s_seq, c_seq, alpha_seq = outs[:3]  # LSTM also returns mem
             if use_penalty:
                 # Penalty value from the saved alignment sequence (the
                 # weighted-sum form, see ops/monotonic.py) and the ramp

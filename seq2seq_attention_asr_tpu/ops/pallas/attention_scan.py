@@ -88,13 +88,23 @@ def _location_term(alpha_prev, wconv, bconv, u, dt, pl, pr):
     return uf, feat
 
 
-def _step_core(vh, h, mask, yin_t, s_prev, w, dt, uf=None):
+def _step_core(vh, h, mask, yin_t, s_prev, w, dt, uf=None, cell="gru",
+               mem_prev=None):
     """Shared forward math for one decoder step on a (BB, ...) block.
 
-    Returns (alpha, c, s_new, a) where a = tanh(z) is kept for reuse.
-    All math runs float32; `dt` is the IO/matmul-operand dtype (bf16
-    under mixed precision — halves HBM traffic, doubles MXU rate).
-    `uf` is the optional location-attention term (BB, L, S).
+    Returns (alpha, c, s_new, mem_new, a) where a = tanh(z) is kept for
+    reuse; mem_new is None for the GRU cell (mem passthrough lives in
+    the caller). All math runs float32; `dt` is the IO/matmul-operand
+    dtype (bf16 under mixed precision — halves HBM traffic, doubles MXU
+    rate). `uf` is the optional location-attention term (BB, L, S).
+
+    cell="gru": w["cell_w1"] = fused z/r gate kernel (2St, 2St),
+    w["cell_w2"] = candidate kernel (2St, St), both on concat(s_prev, r)
+    (cells.gru_step layout, GRU.lua:22-30 — bias-free).
+    cell="lstm": w["cell_w1"] = fused gate kernel (2St, 4St) =
+    concat([w_h, w_x], axis=0) acting on concat(s_prev, r),
+    w["cell_w2"] = bias row (1, 4St); gate order (in, forget, cell,
+    out) per cells.lstm_init (LSTM.lua:25-58, no peepholes).
     """
     st = w["dec_w"].shape[1]
     ws = jnp.dot(
@@ -117,28 +127,38 @@ def _step_core(vh, h, mask, yin_t, s_prev, w, dt, uf=None):
     r = jnp.dot(
         rr.astype(dt), w["dec_w"], preferred_element_type=jnp.float32
     ) + w["dec_b"].astype(jnp.float32)
-    # GRU cell on concat(s_prev, r) (cells.gru_step layout)
     sr = jnp.concatenate([s_prev, r], axis=-1)
+    if cell == "lstm":
+        gates = jnp.dot(
+            sr.astype(dt), w["cell_w1"], preferred_element_type=jnp.float32
+        ) + w["cell_w2"].astype(jnp.float32)
+        ig = jax.nn.sigmoid(gates[:, :st])
+        fg = jax.nn.sigmoid(gates[:, st : 2 * st])
+        gg = jnp.tanh(gates[:, 2 * st : 3 * st])
+        og = jax.nn.sigmoid(gates[:, 3 * st :])
+        mem_new = fg * mem_prev + ig * gg
+        s_new = og * jnp.tanh(mem_new)
+        return alpha, c, s_new, mem_new, a
     zr = jax.nn.sigmoid(
-        jnp.dot(sr.astype(dt), w["gru_wzr"], preferred_element_type=jnp.float32)
+        jnp.dot(sr.astype(dt), w["cell_w1"], preferred_element_type=jnp.float32)
     )
     zg, rg = zr[:, :st], zr[:, st:]
     cand = jnp.tanh(
         jnp.dot(
             jnp.concatenate([rg * s_prev, r], axis=-1).astype(dt),
-            w["gru_wh"],
+            w["cell_w2"],
             preferred_element_type=jnp.float32,
         )
     )
     s_new = (1.0 - zg) * s_prev + zg * cand
-    return alpha, c, s_new, a
+    return alpha, c, s_new, None, a
 
 
-def _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh):
+def _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2):
     return {
         "ws_w": ws_w[:], "ws_b": ws_b[:], "w_e": w_e[:],
         "c_w": c_w[:], "c_b": c_b[:], "dec_w": dec_w[:], "dec_b": dec_b[:],
-        "gru_wzr": gru_wzr[:], "gru_wh": gru_wh[:],
+        "cell_w1": cell_w1[:], "cell_w2": cell_w2[:],
     }
 
 
@@ -156,7 +176,7 @@ def _fwd_kernel(
 
     w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
     dt = vh_ref.dtype
-    alpha, c, s_new, _ = _step_core(
+    alpha, c, s_new, _, _ = _step_core(
         vh_ref[:], h_ref[:], mask_ref[:].astype(jnp.float32), yin_ref[0],
         s_scr[:], w, dt,
     )
@@ -164,6 +184,36 @@ def _fwd_kernel(
     s_out[0] = s_new.astype(s_out.dtype)
     c_out[0] = c.astype(c_out.dtype)
     alpha_out[0] = alpha.astype(alpha_out.dtype)
+
+
+def _fwd_kernel_lstm(
+    vh_ref, h_ref, mask_ref, yin_ref,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2,
+    s_out, c_out, alpha_out, mem_out,
+    s_scr, mem_scr,
+):
+    """LSTM decoder-cell variant (conv_bilstm recipe, timit.lua:137):
+    the cell state `mem` is a second VMEM-scratch carry and is ALSO
+    written out per step — the backward recompute needs mem_prev."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+        mem_scr[:] = jnp.zeros_like(mem_scr)
+
+    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2)
+    dt = vh_ref.dtype
+    alpha, c, s_new, mem_new, _ = _step_core(
+        vh_ref[:], h_ref[:], mask_ref[:].astype(jnp.float32), yin_ref[0],
+        s_scr[:], w, dt, cell="lstm", mem_prev=mem_scr[:],
+    )
+    s_scr[:] = s_new
+    mem_scr[:] = mem_new
+    s_out[0] = s_new.astype(s_out.dtype)
+    c_out[0] = c.astype(c_out.dtype)
+    alpha_out[0] = alpha.astype(alpha_out.dtype)
+    mem_out[0] = mem_new.astype(mem_out.dtype)
 
 
 def _fwd_kernel_loc(
@@ -190,7 +240,7 @@ def _fwd_kernel_loc(
     uf, _ = _location_term(
         alpha_scr[:], wconv[:], bconv[:], u_ref[:], dt, *pl_pr
     )
-    alpha, c, s_new, _ = _step_core(
+    alpha, c, s_new, _, _ = _step_core(
         vh_ref[:], h_ref[:], mask_ref[:].astype(jnp.float32), yin_ref[0],
         s_scr[:], w, dt, uf=uf,
     )
@@ -201,13 +251,51 @@ def _fwd_kernel_loc(
     alpha_out[0] = alpha.astype(alpha_out.dtype)
 
 
+def _fwd_kernel_loc_lstm(
+    pl_pr,
+    vh_ref, h_ref, mask_ref, yin_ref,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2,
+    wconv, bconv, u_ref,
+    s_out, c_out, alpha_out, mem_out,
+    s_scr, alpha_scr, mem_scr,
+):
+    """Location-aware + LSTM decoder cell (the conv_bilstm recipe:
+    featMaps 16, LSTM decoder — timit.lua:128-155)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+        alpha_scr[:] = jnp.zeros_like(alpha_scr)
+        mem_scr[:] = jnp.zeros_like(mem_scr)
+
+    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2)
+    dt = vh_ref.dtype
+    uf, _ = _location_term(
+        alpha_scr[:], wconv[:], bconv[:], u_ref[:], dt, *pl_pr
+    )
+    alpha, c, s_new, mem_new, _ = _step_core(
+        vh_ref[:], h_ref[:], mask_ref[:].astype(jnp.float32), yin_ref[0],
+        s_scr[:], w, dt, uf=uf, cell="lstm", mem_prev=mem_scr[:],
+    )
+    s_scr[:] = s_new
+    alpha_scr[:] = alpha
+    mem_scr[:] = mem_new
+    s_out[0] = s_new.astype(s_out.dtype)
+    c_out[0] = c.astype(c_out.dtype)
+    alpha_out[0] = alpha.astype(alpha_out.dtype)
+    mem_out[0] = mem_new.astype(mem_out.dtype)
+
+
 def _run_fwd(
     vh, h, enc_mask, yin,
-    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
-    block_b, interpret, loc=None,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2,
+    block_b, interpret, loc=None, cell="gru",
 ):
     """loc: optional (wconv (f, FM), bconv (1, FM), u (FM, S)) for the
-    fused location-aware (feature_maps > 0) attention."""
+    fused location-aware (feature_maps > 0) attention. cell="lstm"
+    additionally returns the cell-state sequence mem_seq (the backward
+    recompute needs mem_prev per step)."""
     b, l, s_dim = vh.shape
     a_dim = h.shape[2]
     t_len = yin.shape[1]
@@ -216,6 +304,7 @@ def _run_fwd(
     assert b % bb == 0, (b, bb)
     nb = b // bb
     c2 = lambda i, t: (0, 0)
+    lstm = cell == "lstm"
     # Per-step (T, B, X) arrays are TIME-MAJOR so their blocks are
     # (1, bb, X) — the TPU tiling wants the last two dims (sublane,
     # lane) aligned, so time must be the leading (blocked) axis.
@@ -227,17 +316,18 @@ def _run_fwd(
         pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
-        for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh)
+        for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2)
     ]
     args = [vh, h, enc_mask, yin_t, ws_w, ws_b, w_e, c_w, c_b, dec_w,
-            dec_b, gru_wzr, gru_wh]
+            dec_b, cell_w1, cell_w2]
     scratch = [pltpu.VMEM((bb, st), jnp.float32)]
     if loc is None:
-        kernel = _fwd_kernel
+        kernel = _fwd_kernel_lstm if lstm else _fwd_kernel
     else:
         wconv, bconv, u = loc
         kernel = functools.partial(
-            _fwd_kernel_loc, _conv_pads(wconv.shape[0])
+            _fwd_kernel_loc_lstm if lstm else _fwd_kernel_loc,
+            _conv_pads(wconv.shape[0]),
         )
         in_specs += [
             pl.BlockSpec(wconv.shape, c2, memory_space=pltpu.VMEM),
@@ -246,20 +336,28 @@ def _run_fwd(
         ]
         args += [wconv, bconv, u]
         scratch.append(pltpu.VMEM((bb, l), jnp.float32))
-    s_seq, c_seq, alpha_seq = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bb, a_dim), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bb, l), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_len, b, st), vh.dtype),
+        jax.ShapeDtypeStruct((t_len, b, a_dim), vh.dtype),
+        jax.ShapeDtypeStruct((t_len, b, l), vh.dtype),
+    ]
+    if lstm:
+        out_specs.append(
+            pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((t_len, b, st), vh.dtype))
+        scratch.append(pltpu.VMEM((bb, st), jnp.float32))  # mem carry
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, t_len),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, bb, st), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, a_dim), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, l), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t_len, b, st), vh.dtype),
-            jax.ShapeDtypeStruct((t_len, b, a_dim), vh.dtype),
-            jax.ShapeDtypeStruct((t_len, b, l), vh.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -272,7 +370,7 @@ def _run_fwd(
         ),
     )(*args)
     sw = lambda a: jnp.swapaxes(a, 0, 1)
-    return sw(s_seq), sw(c_seq), sw(alpha_seq)
+    return tuple(sw(o) for o in outs)
 
 
 def _bwd_kernel(
@@ -323,17 +421,22 @@ def _bwd_core(
     vh_ref, h_ref, mask_ref, yin_ref,
     sprev_ref, c_ref, ds_ref, dc_ref, dalpha_ref,
     dvh_ref, dh_ref, dyin_ref,
-    dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dgru_wzr, dgru_wh,
+    dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dcell_w1, dcell_w2,
     ds_scr,
     uf=None, dalpha_extra=None,
+    cell="gru", memprev_ref=None, dmem_ref=None, dmem_scr=None,
 ):
     """Shared backward step: recompute the forward (float32 math, `dt`
-    matmul operands), then backprop through GRU / decoder MLP / context
-    / masked softmax / energies, accumulating into the grad refs.
+    matmul operands), then backprop through the cell / decoder MLP /
+    context / masked softmax / energies, accumulating into the grad
+    refs.
 
     `uf` is the optional location term for the recompute;
     `dalpha_extra` an extra alpha cotangent (the location kernel's
-    cross-step carry). Returns (dz, alpha, s_prev) for the caller's
+    cross-step carry). cell="lstm" additionally consumes memprev_ref
+    (the saved cell-state sequence shifted by one), dmem_ref (the
+    external mem_seq cotangent) and dmem_scr (the cross-step dmem
+    chain). Returns (dz, alpha, s_prev) for the caller's
     location-gradient section.
     """
     st = w["dec_w"].shape[1]
@@ -367,33 +470,65 @@ def _bwd_core(
     rr = jnp.concatenate([cc, yin_t], axis=-1)
     r = mm(rr, w["dec_w"]) + w["dec_b"].astype(f32)
     sr = jnp.concatenate([s_prev, r], axis=-1)
-    zr = jax.nn.sigmoid(mm(sr, w["gru_wzr"]))
-    zg, rg = zr[:, :st], zr[:, st:]
-    rgs = rg * s_prev
-    cand_in = jnp.concatenate([rgs, r], axis=-1)
-    cand = jnp.tanh(mm(cand_in, w["gru_wh"]))
-
-    # --- backward through the GRU ---
     ds = ds_ref[0].astype(f32) + ds_scr[:]
-    dzg = ds * (cand - s_prev)
-    dcand = ds * zg
-    da_cand = dcand * (1.0 - cand * cand)
-    dcand_in = mmT(da_cand, w["gru_wh"])
-    drgs = dcand_in[:, :st]
-    dr = dcand_in[:, st:]
-    drg = drgs * s_prev
-    da_z = dzg * zg * (1.0 - zg)
-    da_r = drg * rg * (1.0 - rg)
-    da_zr = jnp.concatenate([da_z, da_r], axis=-1)
-    dsr = mmT(da_zr, w["gru_wzr"])
-    ds_prev = dsr[:, :st] + drgs * rg + ds * (1.0 - zg)
-    dr = dr + dsr[:, st:]
-    dgru_wh[:] += jnp.dot(
-        cand_in.astype(dt).T, da_cand.astype(dt), preferred_element_type=f32
-    )
-    dgru_wzr[:] += jnp.dot(
-        sr.astype(dt).T, da_zr.astype(dt), preferred_element_type=f32
-    )
+    if cell == "lstm":
+        # recompute gates + cell state (order in/forget/cell/out,
+        # cells.lstm_step without peepholes)
+        mem_prev = jnp.where(rev_is_first, 0.0, memprev_ref[0].astype(f32))
+        gates = mm(sr, w["cell_w1"]) + w["cell_w2"].astype(f32)
+        ig = jax.nn.sigmoid(gates[:, :st])
+        fg = jax.nn.sigmoid(gates[:, st : 2 * st])
+        gg = jnp.tanh(gates[:, 2 * st : 3 * st])
+        og = jax.nn.sigmoid(gates[:, 3 * st :])
+        mem_new = fg * mem_prev + ig * gg
+        tm = jnp.tanh(mem_new)
+
+        # --- backward through the LSTM ---
+        dmem_total = (
+            ds * og * (1.0 - tm * tm)
+            + dmem_ref[0].astype(f32)
+            + dmem_scr[:]
+        )
+        do_ = ds * tm * og * (1.0 - og)
+        di_ = dmem_total * gg * ig * (1.0 - ig)
+        df_ = dmem_total * mem_prev * fg * (1.0 - fg)
+        dg_ = dmem_total * ig * (1.0 - gg * gg)
+        dmem_scr[:] = dmem_total * fg  # chains to step t-1
+        dgates = jnp.concatenate([di_, df_, dg_, do_], axis=-1)
+        dsr = mmT(dgates, w["cell_w1"])
+        ds_prev = dsr[:, :st]
+        dr = dsr[:, st:]
+        dcell_w1[:] += jnp.dot(
+            sr.astype(dt).T, dgates.astype(dt), preferred_element_type=f32
+        )
+        dcell_w2[:] += jnp.sum(dgates, axis=0, keepdims=True)
+    else:
+        zr = jax.nn.sigmoid(mm(sr, w["cell_w1"]))
+        zg, rg = zr[:, :st], zr[:, st:]
+        rgs = rg * s_prev
+        cand_in = jnp.concatenate([rgs, r], axis=-1)
+        cand = jnp.tanh(mm(cand_in, w["cell_w2"]))
+
+        # --- backward through the GRU ---
+        dzg = ds * (cand - s_prev)
+        dcand = ds * zg
+        da_cand = dcand * (1.0 - cand * cand)
+        dcand_in = mmT(da_cand, w["cell_w2"])
+        drgs = dcand_in[:, :st]
+        dr = dcand_in[:, st:]
+        drg = drgs * s_prev
+        da_z = dzg * zg * (1.0 - zg)
+        da_r = drg * rg * (1.0 - rg)
+        da_zr = jnp.concatenate([da_z, da_r], axis=-1)
+        dsr = mmT(da_zr, w["cell_w1"])
+        ds_prev = dsr[:, :st] + drgs * rg + ds * (1.0 - zg)
+        dr = dr + dsr[:, st:]
+        dcell_w2[:] += jnp.dot(
+            cand_in.astype(dt).T, da_cand.astype(dt), preferred_element_type=f32
+        )
+        dcell_w1[:] += jnp.dot(
+            sr.astype(dt).T, da_zr.astype(dt), preferred_element_type=f32
+        )
 
     # --- backward through the decoder-input MLP ---
     drr = mmT(dr, w["dec_w"])
@@ -437,6 +572,139 @@ def _bwd_core(
 
     ds_scr[:] = ds_prev
     return dz, alpha, s_prev
+
+
+def _bwd_kernel_lstm(
+    vh_ref, h_ref, mask_ref, yin_ref,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2,
+    sprev_ref, memprev_ref, c_ref, ds_ref, dmem_ref, dc_ref, dalpha_ref,
+    dvh_ref, dh_ref, dyin_ref,
+    dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dcell_w1, dcell_w2,
+    ds_scr, dmem_scr,
+):
+    """LSTM decoder-cell backward (grid (nb, T), t reversed): identical
+    structure to _bwd_kernel with the cell-state chain carried in a
+    second scratch and the saved mem sequence consumed like s_prev."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    n = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        ds_scr[:] = jnp.zeros_like(ds_scr)
+        dmem_scr[:] = jnp.zeros_like(dmem_scr)
+        dvh_ref[:] = jnp.zeros_like(dvh_ref)
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _():
+        dws_w[:] = jnp.zeros_like(dws_w)
+        dws_b[:] = jnp.zeros_like(dws_b)
+        dw_e[:] = jnp.zeros_like(dw_e)
+        dc_w[:] = jnp.zeros_like(dc_w)
+        dc_b[:] = jnp.zeros_like(dc_b)
+        ddec_w[:] = jnp.zeros_like(ddec_w)
+        ddec_b[:] = jnp.zeros_like(ddec_b)
+        dcell_w1[:] = jnp.zeros_like(dcell_w1)
+        dcell_w2[:] = jnp.zeros_like(dcell_w2)
+
+    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2)
+    _bwd_core(
+        t, n, w, vh_ref.dtype,
+        vh_ref, h_ref, mask_ref, yin_ref,
+        sprev_ref, c_ref, ds_ref, dc_ref, dalpha_ref,
+        dvh_ref, dh_ref, dyin_ref,
+        dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dcell_w1, dcell_w2,
+        ds_scr,
+        cell="lstm", memprev_ref=memprev_ref, dmem_ref=dmem_ref,
+        dmem_scr=dmem_scr,
+    )
+
+
+def _bwd_kernel_loc_lstm(
+    pl_pr,
+    vh_ref, h_ref, mask_ref, yin_ref,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2,
+    wconv, bconv, u_ref,
+    sprev_ref, memprev_ref, aprev_ref, c_ref, ds_ref, dmem_ref, dc_ref,
+    dalpha_ref,
+    dvh_ref, dh_ref, dyin_ref,
+    dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dcell_w1, dcell_w2,
+    dwconv_ref, dbconv_ref, du_ref,
+    ds_scr, dalpha_scr, dmem_scr,
+):
+    """Location-aware + LSTM decoder cell backward (the conv_bilstm
+    recipe): _bwd_kernel_loc's structure with the LSTM cell chain."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    n = pl.num_programs(1)
+    pls, prs = pl_pr
+
+    @pl.when(t == 0)
+    def _():
+        ds_scr[:] = jnp.zeros_like(ds_scr)
+        dalpha_scr[:] = jnp.zeros_like(dalpha_scr)
+        dmem_scr[:] = jnp.zeros_like(dmem_scr)
+        dvh_ref[:] = jnp.zeros_like(dvh_ref)
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _():
+        dws_w[:] = jnp.zeros_like(dws_w)
+        dws_b[:] = jnp.zeros_like(dws_b)
+        dw_e[:] = jnp.zeros_like(dw_e)
+        dc_w[:] = jnp.zeros_like(dc_w)
+        dc_b[:] = jnp.zeros_like(dc_b)
+        ddec_w[:] = jnp.zeros_like(ddec_w)
+        ddec_b[:] = jnp.zeros_like(ddec_b)
+        dcell_w1[:] = jnp.zeros_like(dcell_w1)
+        dcell_w2[:] = jnp.zeros_like(dcell_w2)
+        dwconv_ref[:] = jnp.zeros_like(dwconv_ref)
+        dbconv_ref[:] = jnp.zeros_like(dbconv_ref)
+        du_ref[:] = jnp.zeros_like(du_ref)
+
+    w = _weights_dict(ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2)
+    dt = vh_ref.dtype
+    f32 = jnp.float32
+    rev_is_first = t == n - 1
+    alpha_prev = jnp.where(rev_is_first, 0.0, aprev_ref[0].astype(f32))
+    bb, l = alpha_prev.shape
+    uf, feat = _location_term(alpha_prev, wconv[:], bconv[:], u_ref[:], dt,
+                              pls, prs)
+    dz, _, _ = _bwd_core(
+        t, n, w, dt,
+        vh_ref, h_ref, mask_ref, yin_ref,
+        sprev_ref, c_ref, ds_ref, dc_ref, dalpha_ref,
+        dvh_ref, dh_ref, dyin_ref,
+        dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dcell_w1, dcell_w2,
+        ds_scr,
+        uf=uf, dalpha_extra=dalpha_scr[:],
+        cell="lstm", memprev_ref=memprev_ref, dmem_ref=dmem_ref,
+        dmem_scr=dmem_scr,
+    )
+
+    # --- backward through the location term (as in _bwd_kernel_loc) ---
+    fm = wconv.shape[1]
+    dz_flat = dz.reshape(bb * l, dz.shape[2])
+    dfeat = jnp.dot(
+        dz_flat.astype(dt), u_ref[:].T, preferred_element_type=f32
+    ).reshape(bb, l, fm)
+    du_ref[:] += jnp.dot(
+        feat.reshape(bb * l, fm).astype(dt).T, dz_flat.astype(dt),
+        preferred_element_type=f32,
+    )
+    dbconv_ref[:] += jnp.sum(dfeat, axis=(0, 1))[None, :]
+    ap3 = jnp.pad(alpha_prev, ((0, 0), (pls, prs)))[:, :, None]
+    f = wconv.shape[0]
+    dap = jnp.zeros((bb, l + f - 1), f32)
+    for j in range(f):
+        dfp = jnp.pad(dfeat, ((0, 0), (j, f - 1 - j), (0, 0)))
+        dwconv_ref[j : j + 1, :] += jnp.sum(ap3 * dfp, axis=(0, 1))[None, :]
+        g_j = jnp.sum(
+            dfeat * wconv[j : j + 1, :].astype(f32)[None, :, :], axis=-1
+        )
+        dap = dap + jnp.pad(g_j, ((0, 0), (j, f - 1 - j)))
+    dalpha_scr[:] = dap[:, pls : pls + l]
 
 
 def _bwd_kernel_loc(
@@ -531,9 +799,9 @@ def _bwd_kernel_loc(
 
 def _run_bwd(
     vh, h, enc_mask, yin,
-    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2,
     s_seq, c_seq, ds_seq, dc_seq, dalpha_seq,
-    block_b, interpret,
+    block_b, interpret, cell="gru", mem_seq=None, dmem_seq=None,
 ):
     b, l, s_dim = vh.shape
     a_dim = h.shape[2]
@@ -541,91 +809,91 @@ def _run_bwd(
     st = dec_w.shape[1]
     bb = min(block_b, b)
     nb = b // bb
+    lstm = cell == "lstm"
     c2 = lambda i, t: (0, 0)
     rev = lambda i, t: (t_len - 1 - t, i, 0)
     # s_prev at reversed step t is s_seq[T-2-t]; clamp at the last
     # reversed step (true step 0) — the kernel replaces it with zeros.
     prev = lambda i, t: (jnp.maximum(t_len - 2 - t, 0), i, 0)
     sw = lambda a: jnp.swapaxes(a, 0, 1)  # (T, B, X) time-major
+    step_st_prev = pl.BlockSpec((1, bb, st), prev, memory_space=pltpu.VMEM)
+    step_st_rev = pl.BlockSpec((1, bb, st), rev, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, l), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        step_st_rev,
+    ] + [
+        pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
+        for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2)
+    ] + [step_st_prev]
+    args = [vh, h, enc_mask, sw(yin), ws_w, ws_b, w_e, c_w, c_b, dec_w,
+            dec_b, cell_w1, cell_w2, sw(s_seq)]
+    if lstm:
+        in_specs.append(step_st_prev)  # memprev
+        args.append(sw(mem_seq))
+    in_specs += [
+        pl.BlockSpec((1, bb, a_dim), rev, memory_space=pltpu.VMEM),  # c
+        step_st_rev,  # ds
+    ]
+    args += [sw(c_seq), sw(ds_seq)]
+    if lstm:
+        in_specs.append(step_st_rev)  # dmem (external cotangent)
+        args.append(sw(dmem_seq))
+    in_specs += [
+        pl.BlockSpec((1, bb, a_dim), rev, memory_space=pltpu.VMEM),  # dc
+        pl.BlockSpec((1, bb, l), rev, memory_space=pltpu.VMEM),  # dalpha
+    ]
+    args += [sw(dc_seq), sw(dalpha_seq)]
+    scratch = [pltpu.VMEM((bb, st), jnp.float32)]
+    if lstm:
+        scratch.append(pltpu.VMEM((bb, st), jnp.float32))  # dmem chain
     outs = pl.pallas_call(
-        _bwd_kernel,
+        _bwd_kernel_lstm if lstm else _bwd_kernel,
         grid=(nb, t_len),
-        in_specs=[
-            pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, l), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, st), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(ws_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(ws_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_e.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dec_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dec_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(gru_wzr.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(gru_wh.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, st), prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, a_dim), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, st), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, a_dim), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, l), rev, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bb, l, s_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, l, a_dim), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, st), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(ws_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(ws_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_e.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dec_w.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dec_b.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(gru_wzr.shape, c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(gru_wh.shape, c2, memory_space=pltpu.VMEM),
+            step_st_rev,
+        ] + [
+            pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
+            for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
+                        cell_w1, cell_w2)
         ],
         out_shape=[
             jax.ShapeDtypeStruct(vh.shape, jnp.float32),
             jax.ShapeDtypeStruct(h.shape, jnp.float32),
             jax.ShapeDtypeStruct((t_len, b, st), jnp.float32),
-            jax.ShapeDtypeStruct(ws_w.shape, jnp.float32),
-            jax.ShapeDtypeStruct(ws_b.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w_e.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c_w.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c_b.shape, jnp.float32),
-            jax.ShapeDtypeStruct(dec_w.shape, jnp.float32),
-            jax.ShapeDtypeStruct(dec_b.shape, jnp.float32),
-            jax.ShapeDtypeStruct(gru_wzr.shape, jnp.float32),
-            jax.ShapeDtypeStruct(gru_wh.shape, jnp.float32),
+        ] + [
+            jax.ShapeDtypeStruct(wgt.shape, jnp.float32)
+            for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
+                        cell_w1, cell_w2)
         ],
-        scratch_shapes=[pltpu.VMEM((bb, st), jnp.float32)],
+        scratch_shapes=scratch,
         # the recompute-heavy step keeps ~19 MB of blocks+temps live at
         # the recipe shapes; raise the default 16 MB scoped-vmem cap.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        vh, h, enc_mask, sw(yin),
-        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
-        sw(s_seq), sw(c_seq), sw(ds_seq), sw(dc_seq), sw(dalpha_seq),
-    )
+    )(*args)
     outs = list(outs)
     outs[2] = jnp.swapaxes(outs[2], 0, 1)  # dyin back to (B, T, St)
     # Cotangents must match the primal dtypes (the kernel accumulates
     # everything in float32; one cast after full accumulation).
     primals = (vh, h, yin, ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
-               gru_wzr, gru_wh)
+               cell_w1, cell_w2)
     outs = [o.astype(p.dtype) for o, p in zip(outs, primals)]
     return tuple(outs)
 
 
 def _run_bwd_loc(
     vh, h, enc_mask, yin,
-    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2,
     wconv, bconv, u,
     s_seq, c_seq, alpha_seq, ds_seq, dc_seq, dalpha_seq,
-    block_b, interpret,
+    block_b, interpret, cell="gru", mem_seq=None, dmem_seq=None,
 ):
     b, l, s_dim = vh.shape
     a_dim = h.shape[2]
@@ -633,6 +901,7 @@ def _run_bwd_loc(
     st = dec_w.shape[1]
     bb = min(block_b, b)
     nb = b // bb
+    lstm = cell == "lstm"
     c2 = lambda i, t: (0, 0)
     rev = lambda i, t: (t_len - 1 - t, i, 0)
     prev = lambda i, t: (jnp.maximum(t_len - 2 - t, 0), i, 0)
@@ -647,15 +916,37 @@ def _run_bwd_loc(
         per_step(st),
     ] + [
         pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
-        for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr,
-                    gru_wh, wconv, bconv, u)
-    ] + [
-        pl.BlockSpec((1, bb, st), prev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bb, l), prev, memory_space=pltpu.VMEM),
-        per_step(a_dim), per_step(st), per_step(a_dim), per_step(l),
+        for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1,
+                    cell_w2, wconv, bconv, u)
+    ] + [pl.BlockSpec((1, bb, st), prev, memory_space=pltpu.VMEM)]
+    args = [vh, h, enc_mask, sw(yin),
+            ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, cell_w1, cell_w2,
+            wconv, bconv, u, sw(s_seq)]
+    if lstm:
+        in_specs.append(pl.BlockSpec((1, bb, st), prev, memory_space=pltpu.VMEM))
+        args.append(sw(mem_seq))  # memprev
+    in_specs += [
+        pl.BlockSpec((1, bb, l), prev, memory_space=pltpu.VMEM),  # aprev
+        per_step(a_dim),  # c
+        per_step(st),  # ds
     ]
+    args += [sw(alpha_seq), sw(c_seq), sw(ds_seq)]
+    if lstm:
+        in_specs.append(per_step(st))  # dmem
+        args.append(sw(dmem_seq))
+    in_specs += [per_step(a_dim), per_step(l)]  # dc, dalpha
+    args += [sw(dc_seq), sw(dalpha_seq)]
+    scratch = [
+        pltpu.VMEM((bb, st), jnp.float32),
+        pltpu.VMEM((bb, l), jnp.float32),
+    ]
+    if lstm:
+        scratch.append(pltpu.VMEM((bb, st), jnp.float32))  # dmem chain
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel_loc, _conv_pads(wconv.shape[0])),
+        functools.partial(
+            _bwd_kernel_loc_lstm if lstm else _bwd_kernel_loc,
+            _conv_pads(wconv.shape[0]),
+        ),
         grid=(nb, t_len),
         in_specs=in_specs,
         out_specs=[
@@ -665,7 +956,7 @@ def _run_bwd_loc(
         ] + [
             pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM)
             for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
-                        gru_wzr, gru_wh, wconv, bconv, u)
+                        cell_w1, cell_w2, wconv, bconv, u)
         ],
         out_shape=[
             jax.ShapeDtypeStruct(vh.shape, jnp.float32),
@@ -674,27 +965,18 @@ def _run_bwd_loc(
         ] + [
             jax.ShapeDtypeStruct(wgt.shape, jnp.float32)
             for wgt in (ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
-                        gru_wzr, gru_wh, wconv, bconv, u)
+                        cell_w1, cell_w2, wconv, bconv, u)
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bb, st), jnp.float32),
-            pltpu.VMEM((bb, l), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        vh, h, enc_mask, sw(yin),
-        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, gru_wzr, gru_wh,
-        wconv, bconv, u,
-        sw(s_seq), sw(alpha_seq), sw(c_seq), sw(ds_seq), sw(dc_seq),
-        sw(dalpha_seq),
-    )
+    )(*args)
     outs = list(outs)
     outs[2] = jnp.swapaxes(outs[2], 0, 1)  # dyin back to (B, T, St)
     primals = (vh, h, yin, ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b,
-               gru_wzr, gru_wh, wconv, bconv, u)
+               cell_w1, cell_w2, wconv, bconv, u)
     return tuple(o.astype(p.dtype) for o, p in zip(outs, primals))
 
 
@@ -940,6 +1222,136 @@ def _vjp_bwd(block_b, interpret, res, grads):
 attention_decode_scan.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def attention_decode_scan_lstm(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+    block_b=8, interpret=False,
+):
+    """Fused teacher-forced attention decoder with an LSTM decoder cell
+    (feature_maps=0; the conv_bilstm family's cell — timit.lua:137).
+
+    lstm_w: (2St, 4St) = concat([w_h, w_x], axis=0) on concat(s, r),
+    gate order (in, forget, cell, out); lstm_b: (1, 4St). Returns
+    (s_seq, c_seq, alpha_seq, mem_seq) — mem_seq is exposed because
+    the backward recompute needs the cell state; callers may ignore it.
+    """
+    return _run_fwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        block_b, interpret, cell="lstm",
+    )
+
+
+def _vjp_fwd_lstm(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+    block_b, interpret,
+):
+    out = _run_fwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        block_b, interpret, cell="lstm",
+    )
+    s_seq, c_seq, alpha_seq, mem_seq = out
+    res = (
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        s_seq, c_seq, mem_seq,
+    )
+    return out, res
+
+
+def _vjp_bwd_lstm(block_b, interpret, res, grads):
+    (
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        s_seq, c_seq, mem_seq,
+    ) = res
+    ds_seq, dc_seq, dalpha_seq, dmem_seq = grads
+    outs = _run_bwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        s_seq, c_seq, ds_seq, dc_seq, dalpha_seq,
+        block_b, interpret, cell="lstm", mem_seq=mem_seq,
+        dmem_seq=dmem_seq,
+    )
+    (dvh, dh, dyin, dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b,
+     dlstm_w, dlstm_b) = outs
+    dmask = jnp.zeros_like(enc_mask)
+    return (
+        dvh, dh, dmask, dyin,
+        dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dlstm_w, dlstm_b,
+    )
+
+
+attention_decode_scan_lstm.defvjp(_vjp_fwd_lstm, _vjp_bwd_lstm)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17))
+def attention_decode_scan_loc_lstm(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+    wconv, bconv, u,
+    block_b=8, interpret=False,
+):
+    """Location-aware (feature_maps > 0) + LSTM decoder cell — the
+    conv_bilstm recipe's decoder (timit.lua:128-155). Returns
+    (s_seq, c_seq, alpha_seq, mem_seq)."""
+    return _run_fwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        block_b, interpret, loc=(wconv, bconv, u), cell="lstm",
+    )
+
+
+def _vjp_fwd_loc_lstm(
+    vh, h, enc_mask, yin,
+    ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+    wconv, bconv, u, block_b, interpret,
+):
+    out = _run_fwd(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        block_b, interpret, loc=(wconv, bconv, u), cell="lstm",
+    )
+    s_seq, c_seq, alpha_seq, mem_seq = out
+    res = (
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        wconv, bconv, u, s_seq, c_seq, alpha_seq, mem_seq,
+    )
+    return out, res
+
+
+def _vjp_bwd_loc_lstm(block_b, interpret, res, grads):
+    (
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        wconv, bconv, u, s_seq, c_seq, alpha_seq, mem_seq,
+    ) = res
+    ds_seq, dc_seq, dalpha_seq, dmem_seq = grads
+    outs = _run_bwd_loc(
+        vh, h, enc_mask, yin,
+        ws_w, ws_b, w_e, c_w, c_b, dec_w, dec_b, lstm_w, lstm_b,
+        wconv, bconv, u,
+        s_seq, c_seq, alpha_seq, ds_seq, dc_seq, dalpha_seq,
+        block_b, interpret, cell="lstm", mem_seq=mem_seq,
+        dmem_seq=dmem_seq,
+    )
+    (dvh, dh, dyin, dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b,
+     dlstm_w, dlstm_b, dwconv, dbconv, du) = outs
+    dmask = jnp.zeros_like(enc_mask)
+    return (
+        dvh, dh, dmask, dyin,
+        dws_w, dws_b, dw_e, dc_w, dc_b, ddec_w, ddec_b, dlstm_w,
+        dlstm_b, dwconv, dbconv, du,
+    )
+
+
+attention_decode_scan_loc_lstm.defvjp(_vjp_fwd_loc_lstm, _vjp_bwd_loc_lstm)
+
+
 _VMEM_BUDGET = 100 * 1024 * 1024  # matches CompilerParams above
 
 
@@ -963,12 +1375,16 @@ def choose_block(batch: int, l: int, s_dim: int, a_dim: int,
     """
     import os
 
-    # block 64 bf16 was tried (runs/block_tune.json): the bf16 IO
-    # blocks would fit a ~3.25x bytes-scale, but the kernel FAILS TO
-    # COMPILE at bb=64 on real v5e (Mosaic rejects it; the f32 step
-    # intermediates (bb, L, S) blow the scoped-VMEM budget) — keep 32.
+    # Measured bf16 block choices on v5e (r4): bigger blocks win when
+    # they fit the budget — conv_bilstm (L'=16): bb=128 3.01 ms vs
+    # bb=32 4.08 ms (XLA 3.17); chorowski L=96: bb=64 5.77 vs bb=32
+    # 6.09 ms. bb=64 at chorowski L=144 (122 MB modeled, over budget)
+    # FAILS TO COMPILE (runs/block_tune.json) — the 3.25x bytes-scale
+    # gate below correctly excludes it, so larger candidates are safe
+    # to list first. f32 keeps the original tuple (its budget admits
+    # larger blocks only at shapes with no chip measurement yet).
     if dtype == jnp.bfloat16:
-        blocks, bytes_scale, sublane = (32, 16), 3.25, 16
+        blocks, bytes_scale, sublane = (128, 64, 32, 16), 3.25, 16
     else:
         blocks, bytes_scale, sublane = (32, 16, 8), 5.0, 8
     forced = int(os.environ.get("ATTN_SCAN_BLOCK_B", "0"))
@@ -987,16 +1403,20 @@ def choose_block(batch: int, l: int, s_dim: int, a_dim: int,
 
 
 def supported(cfg, batch: int, l: int = 144, dtype=jnp.float32) -> bool:
-    """Usable for this config/batch? GRU cell (plain or location-aware
-    attention — feature_maps > 0 runs the _loc kernels), tile-friendly
-    L, and a (batch, L) block that fits in VMEM. Penalty-active configs
-    (mono_align && penalty_lambda > 0) ARE supported: the penalty value
-    and ramp injection are applied OUTSIDE the kernel on the saved
-    alpha sequence (ops/monotonic.py::monotonic_alignment_seq via
+    """Usable for this config/batch? GRU or no-peephole LSTM decoder
+    cell (plain or location-aware attention — feature_maps > 0 runs
+    the _loc kernels), tile-friendly L, and a (batch, L) block that
+    fits in VMEM. Penalty-active configs (mono_align &&
+    penalty_lambda > 0) ARE supported: the penalty value and ramp
+    injection are applied OUTSIDE the kernel on the saved alpha
+    sequence (ops/monotonic.py::monotonic_alignment_seq via
     decode_teacher_forced) — no kernel involvement."""
     sublane = 16 if dtype == jnp.bfloat16 else 8
+    cell_ok = cfg.cell == "gru" or (
+        cfg.cell == "lstm" and not getattr(cfg, "peepholes", False)
+    )
     return (
-        cfg.cell == "gru"
+        cell_ok
         and batch >= 8
         and l % sublane == 0
         and choose_block(batch, l, cfg.score_depth, cfg.annotation_depth,

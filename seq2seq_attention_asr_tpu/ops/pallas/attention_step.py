@@ -92,7 +92,7 @@ def _kernel(k_hyp, ro_spec, n_ro, vh_ref, h_ref, mask_ref, yin_ref,
     h = h_ref[:]
     mask = mask_ref[:].astype(f32)
     for k in range(k_hyp):
-        alpha, c, s_new, _ = _step_core(
+        alpha, c, s_new, _, _ = _step_core(
             vh, h, mask, yin_ref[k].astype(f32), sprev_ref[k].astype(f32),
             w, dt,
         )
@@ -122,7 +122,7 @@ def _kernel_loc(k_hyp, pads, ro_spec, n_ro, vh_ref, h_ref, mask_ref,
         uf, _ = _location_term(
             aprev_ref[k].astype(f32), wconv[:], bconv[:], u_ref[:], dt, *pads
         )
-        alpha, c, s_new, _ = _step_core(
+        alpha, c, s_new, _, _ = _step_core(
             vh, h, mask, yin_ref[k].astype(f32), sprev_ref[k].astype(f32),
             w, dt, uf=uf,
         )

@@ -579,3 +579,49 @@ def test_bilstm_layer_bf16_output_dtype():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=0.05, atol=0.05,
     )
+
+
+@pytest.mark.parametrize("fm", [0, 6])
+def test_attention_scan_lstm_cell_matches_xla(fm):
+    """LSTM decoder cell on the FUSED scan (the conv_bilstm recipe's
+    decoder, timit.lua:137 — previously XLA-only): fused forward and
+    ALL gradients must match the XLA scan path, content-only and
+    location-aware."""
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=24, filt_size=5, feature_maps=fm, state_depth=16,
+        annotation_depth=20, output_depth=7,
+        readout=(("linear", 14), ("relu",), ("linear", 7)), cell="lstm",
+        peepholes=False, mono_align=False, penalty_lambda=0.0,
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    b, l, t, v = 8, 16, 5, 7
+    h = jnp.asarray(rng.randn(b, l, 20), jnp.float32)
+    enc_len = jnp.asarray([16, 12, 16, 9, 16, 16, 11, 16])
+    oh = jax.nn.one_hot(jnp.asarray(rng.randint(0, v, (b, t))), v)
+    dm = (jnp.arange(t)[None, :]
+          < jnp.asarray([5, 4, 5, 2, 5, 5, 3, 5])[:, None]).astype(jnp.float32)
+
+    o_x = att.decode_teacher_forced(params, cfg, h, enc_len, oh, dm,
+                                    backend="xla")
+    o_p = att.decode_teacher_forced(params, cfg, h, enc_len, oh, dm,
+                                    backend="pallas")
+    np.testing.assert_allclose(np.asarray(o_p["logprobs"]),
+                               np.asarray(o_x["logprobs"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_p["alpha"]),
+                               np.asarray(o_x["alpha"]), atol=2e-6)
+
+    def loss(be, p, hh):
+        out = att.decode_teacher_forced(p, cfg, hh, enc_len, oh, dm,
+                                        backend=be)
+        return -jnp.sum(out["logprobs"] * oh * dm[..., None]) + jnp.sum(
+            out["alpha"] ** 2
+        )
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(params, h)
+    gp = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(params, h)
+    for a, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
