@@ -82,8 +82,11 @@ def _apply_readout_fused(ro_spec, refs, x, dt):
     return x - m - jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
 
 
-def _kernel(k_hyp, ro_spec, n_ro, vh_ref, h_ref, mask_ref, yin_ref,
+def _kernel(k_hyp, cell, ro_spec, n_ro, vh_ref, h_ref, mask_ref, yin_ref,
             sprev_ref, *rest):
+    lstm = cell == "lstm"
+    if lstm:
+        memprev_ref, rest = rest[0], rest[1:]
     wargs, ro_refs, outs = rest[:9], rest[9 : 9 + n_ro], rest[9 + n_ro :]
     w = _weights_dict(*wargs)
     dt = vh_ref.dtype
@@ -92,23 +95,32 @@ def _kernel(k_hyp, ro_spec, n_ro, vh_ref, h_ref, mask_ref, yin_ref,
     h = h_ref[:]
     mask = mask_ref[:].astype(f32)
     for k in range(k_hyp):
-        alpha, c, s_new, _, _ = _step_core(
+        alpha, c, s_new, mem_new, _ = _step_core(
             vh, h, mask, yin_ref[k].astype(f32), sprev_ref[k].astype(f32),
-            w, dt,
+            w, dt, cell=cell,
+            mem_prev=memprev_ref[k].astype(f32) if lstm else None,
         )
         outs[0][k] = alpha.astype(outs[0].dtype)
         outs[1][k] = c.astype(outs[1].dtype)
         outs[2][k] = s_new.astype(outs[2].dtype)
+        oi = 3
+        if lstm:
+            outs[3][k] = mem_new.astype(outs[3].dtype)
+            oi = 4
         if ro_spec is not None:
-            outs[3][k] = _apply_readout_fused(
+            outs[oi][k] = _apply_readout_fused(
                 ro_spec, ro_refs, jnp.concatenate([s_new, c], axis=-1), dt
             )
 
 
-def _kernel_loc(k_hyp, pads, ro_spec, n_ro, vh_ref, h_ref, mask_ref,
-                yin_ref, sprev_ref, aprev_ref, *rest):
+def _kernel_loc(k_hyp, pads, cell, ro_spec, n_ro, vh_ref, h_ref, mask_ref,
+                yin_ref, sprev_ref, *rest):
     """Location-aware variant: UF = conv(alpha_prev) @ u per hypothesis
     (Attention.lua:73-99), fused like attention_scan's _loc kernels."""
+    lstm = cell == "lstm"
+    if lstm:
+        memprev_ref, rest = rest[0], rest[1:]
+    aprev_ref, rest = rest[0], rest[1:]
     wargs = rest[:9]
     wconv, bconv, u_ref = rest[9:12]
     ro_refs, outs = rest[12 : 12 + n_ro], rest[12 + n_ro :]
@@ -122,15 +134,20 @@ def _kernel_loc(k_hyp, pads, ro_spec, n_ro, vh_ref, h_ref, mask_ref,
         uf, _ = _location_term(
             aprev_ref[k].astype(f32), wconv[:], bconv[:], u_ref[:], dt, *pads
         )
-        alpha, c, s_new, _, _ = _step_core(
+        alpha, c, s_new, mem_new, _ = _step_core(
             vh, h, mask, yin_ref[k].astype(f32), sprev_ref[k].astype(f32),
-            w, dt, uf=uf,
+            w, dt, uf=uf, cell=cell,
+            mem_prev=memprev_ref[k].astype(f32) if lstm else None,
         )
         outs[0][k] = alpha.astype(outs[0].dtype)
         outs[1][k] = c.astype(outs[1].dtype)
         outs[2][k] = s_new.astype(outs[2].dtype)
+        oi = 3
+        if lstm:
+            outs[3][k] = mem_new.astype(outs[3].dtype)
+            oi = 4
         if ro_spec is not None:
-            outs[3][k] = _apply_readout_fused(
+            outs[oi][k] = _apply_readout_fused(
                 ro_spec, ro_refs, jnp.concatenate([s_new, c], axis=-1), dt
             )
 
@@ -163,13 +180,17 @@ def choose_block(batch: int, k_hyp: int, l: int, s_dim: int, a_dim: int,
 
 
 def supported(cfg, batch: int, k_hyp: int, l: int, dtype=jnp.float32) -> bool:
-    """GRU decoder cell only (the flagship recipes), tile-friendly L,
-    and a batch block that fits. The monotonic penalty is gradient-only
+    """GRU or no-peephole LSTM decoder cell, tile-friendly L, and a
+    batch block that fits. The monotonic penalty is gradient-only
     (MonotonicAlignment.lua: forward is identity) so it never gates
     decoding."""
     sublane = 16 if dtype == jnp.bfloat16 else 8
+    cell = getattr(cfg, "cell", "gru")
+    cell_ok = cell == "gru" or (
+        cell == "lstm" and not getattr(cfg, "peepholes", False)
+    )
     return (
-        getattr(cfg, "cell", "gru") == "gru"
+        cell_ok
         and k_hyp >= 1
         and l % sublane == 0
         and choose_block(batch, k_hyp, l, cfg.score_depth,
@@ -229,7 +250,9 @@ def fused_attention_step(
     y_prev one-hot (B,K,V); vh (B,L,S); h (B,L,A); enc_mask (B,L).
     Returns (new_state, {"s": (B,K,St), "c": (B,K,A),
     "alpha": (B,K,L)}). GRU cell: mem passes through untouched
-    (model_chorowski_baseline.lua:48-51).
+    (model_chorowski_baseline.lua:48-51); LSTM cell (no peepholes —
+    the conv_bilstm recipe, timit.lua:137): mem is the cell state,
+    consumed and produced by the kernel.
 
     with_readout=True (requires readout_fusable(cfg)) also applies the
     readout MLP + f32 log_softmax in-kernel and adds "logp" (B,K,V)
@@ -242,6 +265,7 @@ def fused_attention_step(
     a_dim = h.shape[2]
     st = s_prev.shape[2]
     dt = vh.dtype
+    lstm = cfg.cell == "lstm"
 
     # y_in projection outside the kernel: one (B*K, V) @ (V, St) matmul.
     yin = (
@@ -272,11 +296,16 @@ def fused_attention_step(
         pl.BlockSpec((k_hyp, bb, st), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
     ]
     dec = params
+    if lstm:
+        cw1 = jnp.concatenate([dec["cell"]["w_h"], dec["cell"]["w_x"]], axis=0)
+        cw2 = dec["cell"]["b"][None, :]
+    else:
+        cw1, cw2 = dec["cell"]["w_zr"], dec["cell"]["w_h"]
     wargs = [
         dec["ws"]["w"], dec["ws"]["b"][None, :], dec["w_e"][None, :],
         dec["c_in"]["w"], dec["c_in"]["b"][None, :],
         dec["dec_in"]["w"], dec["dec_in"]["b"][None, :],
-        dec["cell"]["w_zr"], dec["cell"]["w_h"],
+        cw1, cw2,
     ]
     w_specs = [
         pl.BlockSpec(wgt.shape, c2, memory_space=pltpu.VMEM) for wgt in wargs
@@ -286,17 +315,23 @@ def fused_attention_step(
         pl.BlockSpec(a.shape, zmap(a.ndim), memory_space=pltpu.VMEM)
         for a in ro_args
     ]
+    st_spec = pl.BlockSpec((k_hyp, bb, st), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
     args = [vh, h, enc_mask, yin_km, sprev_km]
+    mem_specs, mem_args = [], []
+    if lstm:
+        mem_specs, mem_args = [st_spec], [km(mem)]
     if cfg.feature_maps > 0:
         lc = dec["loc_conv"]
         wconv = lc["w"][:, 0, :]
         loc_args = [wconv, lc["b"][None, :], dec["u"]]
         kernel = functools.partial(
-            _kernel_loc, k_hyp, _conv_pads(cfg.filt_size), ro_spec,
-            len(ro_args),
+            _kernel_loc, k_hyp, _conv_pads(cfg.filt_size), cfg.cell,
+            ro_spec, len(ro_args),
         )
         in_specs = (
             enc_spec
+            + mem_specs
             + [pl.BlockSpec((k_hyp, bb, l), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)]
             + w_specs
@@ -304,22 +339,27 @@ def fused_attention_step(
                for wgt in loc_args]
             + ro_specs
         )
-        args = args + [km(alpha_prev)] + wargs + loc_args + ro_args
+        args = args + mem_args + [km(alpha_prev)] + wargs + loc_args + ro_args
     else:
-        kernel = functools.partial(_kernel, k_hyp, ro_spec, len(ro_args))
-        in_specs = enc_spec + w_specs + ro_specs
-        args = args + wargs + ro_args
+        kernel = functools.partial(
+            _kernel, k_hyp, cfg.cell, ro_spec, len(ro_args)
+        )
+        in_specs = enc_spec + mem_specs + w_specs + ro_specs
+        args = args + mem_args + wargs + ro_args
 
     out_specs = [
         pl.BlockSpec((k_hyp, bb, l), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((k_hyp, bb, a_dim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k_hyp, bb, st), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        st_spec,
     ]
     out_shape = [
         jax.ShapeDtypeStruct((k_hyp, b, l), dt),
         jax.ShapeDtypeStruct((k_hyp, b, a_dim), dt),
         jax.ShapeDtypeStruct((k_hyp, b, st), dt),
     ]
+    if lstm:
+        out_specs.append(st_spec)
+        out_shape.append(jax.ShapeDtypeStruct((k_hyp, b, st), dt))
     if with_readout:
         v_out = cfg.output_depth
         out_specs.append(
@@ -346,6 +386,11 @@ def fused_attention_step(
     )(*args)
     alpha = km(res[0])
     out = {"s": km(res[2]), "c": km(res[1]), "alpha": alpha}
+    oi = 3
+    mem_new = mem
+    if lstm:
+        mem_new = km(res[3])
+        oi = 4
     if with_readout:
-        out["logp"] = km(res[3])
-    return (alpha, out["s"], mem), out
+        out["logp"] = km(res[oi])
+    return (alpha, out["s"], mem_new), out

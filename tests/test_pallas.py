@@ -625,3 +625,32 @@ def test_attention_scan_lstm_cell_matches_xla(fm):
     for a, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("fm", [0, 6])
+def test_beam_search_lstm_cell_pallas_matches_xla(fm):
+    """Fused single-step decode with an LSTM decoder cell (conv_bilstm
+    recipe): beam_search(backend='pallas') must return identical
+    hypotheses to the XLA step path, content-only and location-aware."""
+    from seq2seq_attention_asr_tpu.decode import beam as beam_lib
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=16, filt_size=5, feature_maps=fm, state_depth=16,
+        annotation_depth=24, output_depth=6, cell="lstm", peepholes=False,
+        mono_align=False, penalty_lambda=0.0,
+        readout=(("linear", 12), ("relu",), ("linear", 6)),
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    b, l = 8, 16
+    h = jax.random.normal(jax.random.PRNGKey(1), (b, l, 24)) * 0.5
+    lens = jnp.array([16, 9, 12, 5, 8, 16, 11, 13])
+    h = h * (jnp.arange(l)[None, :, None] < lens[:, None, None])
+    kw = dict(eos_id=2, k=3, max_steps=lens, max_steps_cap=l)
+    want = beam_lib.beam_search(params, cfg, h, lens, backend="xla", **kw)
+    got = beam_lib.beam_search(params, cfg, h, lens, backend="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(want.lengths))
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=1e-5, atol=1e-6
+    )
