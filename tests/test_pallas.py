@@ -654,3 +654,20 @@ def test_beam_search_lstm_cell_pallas_matches_xla(fm):
     np.testing.assert_allclose(
         np.asarray(got.scores), np.asarray(want.scores), rtol=1e-5, atol=1e-6
     )
+
+
+def test_choose_block_bf16_budget_gating():
+    """choose_block prefers the largest batch block the VMEM budget
+    admits (measured faster on chip: bb=128 at conv_bilstm L'=16,
+    bb=64 at chorowski L=96) while excluding the known-failing
+    bb=64 @ chorowski L=144 (runs/block_tune.json compile failure)."""
+    from seq2seq_attention_asr_tpu.ops.pallas import attention_scan as a
+
+    # conv_bilstm decoder shape: tiny L' -> whole batch in one block
+    assert a.choose_block(128, 16, 150, 256, jnp.bfloat16) == 128
+    # chorowski L=96: 64 fits the bf16 budget
+    assert a.choose_block(128, 96, 512, 512, jnp.bfloat16) == 64
+    # chorowski L=144: 64 is over budget (fails to compile on v5e) -> 32
+    assert a.choose_block(128, 144, 512, 512, jnp.bfloat16) == 32
+    # f32 keeps the measured-era tuple
+    assert a.choose_block(128, 144, 512, 512, jnp.float32) == 32
