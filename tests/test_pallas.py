@@ -671,3 +671,29 @@ def test_choose_block_bf16_budget_gating():
     assert a.choose_block(128, 144, 512, 512, jnp.bfloat16) == 32
     # f32 keeps the measured-era tuple
     assert a.choose_block(128, 144, 512, 512, jnp.float32) == 32
+
+
+def test_greedy_lstm_cell_pallas_matches_xla():
+    """Greedy decode through the fused step kernel with an LSTM cell
+    must match the XLA path exactly (same kernel as beam; pins the
+    mem-state plumbing on the greedy driver too)."""
+    from seq2seq_attention_asr_tpu.decode import greedy as greedy_lib
+    from seq2seq_attention_asr_tpu.ops import attention as att
+
+    cfg = att.AttentionConfig(
+        score_depth=16, filt_size=5, feature_maps=6, state_depth=16,
+        annotation_depth=24, output_depth=6, cell="lstm", peepholes=False,
+        mono_align=False, penalty_lambda=0.0,
+        readout=(("linear", 6),),
+    )
+    params = att.attention_init(jax.random.PRNGKey(0), cfg)
+    b, l = 8, 16
+    h = jax.random.normal(jax.random.PRNGKey(1), (b, l, 24)) * 0.5
+    lens = jnp.array([16, 9, 12, 5, 8, 16, 11, 13])
+    h = h * (jnp.arange(l)[None, :, None] < lens[:, None, None])
+    want = greedy_lib.greedy_decode(params, cfg, h, lens, eos_id=2,
+                                    backend="xla")
+    got = greedy_lib.greedy_decode(params, cfg, h, lens, eos_id=2,
+                                   backend="pallas")
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(want.lengths))
