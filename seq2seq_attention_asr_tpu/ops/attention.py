@@ -406,6 +406,19 @@ def decode_teacher_forced(
                     alpha_seq, base_ramp, dec_mask.astype(base_ramp.dtype),
                     pen_unit,
                 )
+                # Couple the injected alignment into the DIFFERENTIATED
+                # graph. The training loss consumes only logprobs (alpha
+                # is aux under value_and_grad(has_aux=True)), so without
+                # this zero-valued term JAX prunes the custom_vjp above
+                # and penalty-active configs silently train with no
+                # penalty gradient. The kernel's own alpha->context path
+                # contributes the dc@h^T part of d(alpha) internally, so
+                # the external cotangent must be EXACTLY the ramp
+                # injection — which this 0*sum coupling delivers (its
+                # own cotangent contribution is numerically zero).
+                s_seq = s_seq + (
+                    0.0 * jnp.sum(alpha_seq, axis=-1, keepdims=True)
+                ).astype(s_seq.dtype)
                 penalty = (
                     cfg.penalty_lambda * pen_unit * dec_mask
                 ).astype(dec_mask.dtype)
