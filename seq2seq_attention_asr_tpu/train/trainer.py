@@ -107,8 +107,11 @@ def make_step_core(
     opt_state, rng) where train_params is the model pytree, or an
     AWNState when tcfg.noise == "awn". batch = (x, x_len, y, dec_mask).
     Loss is the batch MEAN of per-utterance NLL (reference averages
-    accumulated per-sample grads, timit.lua:292-295), with
-    normalize_nll dividing each utterance by its own T first.
+    accumulated per-sample grads, timit.lua:292-295). normalize_nll
+    divides each utterance's REPORTED nll by its own T (timit.lua:
+    268-271) without touching the gradient; normalize_grad divides the
+    backward signal by T (timit.lua:278-281) without touching the
+    report — independent knobs, as in the reference.
     """
     use_awn = tcfg.noise == "awn"
     use_wn = tcfg.noise == "weight"
@@ -121,15 +124,23 @@ def make_step_core(
         per_step = -jnp.sum(onehot * out["logprobs"], axis=-1) * dec_mask
         per_utt = jnp.sum(per_step, axis=-1)
         lens = jnp.maximum(jnp.sum(dec_mask, axis=-1), 1.0)
-        if tcfg.normalize_nll:
-            per_utt = per_utt / lens
         # Mean over REAL utterances: a row with an all-zero dec_mask is
         # batch padding (the mesh trainer pads ragged batches up to the
         # dp divisor with dead copies) and must affect neither the loss
         # value nor its scale. For full batches this is jnp.mean.
         row = (jnp.sum(dec_mask, axis=-1) > 0).astype(per_utt.dtype)
-        loss = jnp.sum(per_utt * row) / jnp.maximum(jnp.sum(row), 1.0)
-        return loss, out
+
+        def rowmean(v):
+            return jnp.sum(v * row) / jnp.maximum(jnp.sum(row), 1.0)
+
+        # normalize_nll and normalize_grad are INDEPENDENT knobs
+        # (timit.lua:268-271 chooses the reported nll scale; :278-281
+        # divides only dLdlogp by T). The differentiated scalar follows
+        # normalize_grad; the reported NLL follows normalize_nll; the
+        # aux value carries the report so grads never see its scale.
+        loss_grad = rowmean(per_utt / lens if tcfg.normalize_grad else per_utt)
+        loss_report = rowmean(per_utt / lens if tcfg.normalize_nll else per_utt)
+        return loss_grad, (out, loss_report)
 
     def step_fn(state, batch):
         train_params, opt_state, rng = state
@@ -139,7 +150,7 @@ def make_step_core(
 
         if use_awn:
             w = awn_lib.sample(noise_rng, train_params)
-            (loss, out), grads_w = jax.value_and_grad(_loss, has_aux=True)(
+            (_, (out, loss)), grads_w = jax.value_and_grad(_loss, has_aux=True)(
                 w, x, x_len, onehot, dec_mask, dropout_rng
             )
             # The reference averages the per-sample NLL grads over the
@@ -157,7 +168,7 @@ def make_step_core(
                 model_params = awn_lib.weight_noise_sample(
                     noise_rng, train_params, tcfg.weight_noise_sigma
                 )
-            (loss, out), grads = jax.value_and_grad(_loss, has_aux=True)(
+            (_, (out, loss)), grads = jax.value_and_grad(_loss, has_aux=True)(
                 model_params, x, x_len, onehot, dec_mask, dropout_rng
             )
             loss_report = loss

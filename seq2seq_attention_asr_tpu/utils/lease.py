@@ -16,28 +16,23 @@ fast with a clear message instead of silently corrupting both
 measurements. CPU-only runs (BENCH_CPU / JAX_PLATFORMS=cpu) skip the
 lease.
 
-This is advisory same-host locking (the tunnel is per-host anyway):
-the lock file holds the owner's pid + argv; a lock whose pid is dead
-is stale and is reclaimed automatically.
+This is advisory same-host locking (the tunnel is per-host anyway),
+built on `fcntl.flock`: the kernel releases the lock the instant the
+owner dies, so there is no stale-lock reclaim logic to race on
+(ADVICE r4: the previous pid-liveness + rename scheme had a window
+where two contenders could both reclaim and run concurrently). The
+lock file's contents (owner pid + argv) are diagnostics only.
 """
 
 from __future__ import annotations
 
-import errno
+import fcntl
 import json
 import os
 import sys
 from contextlib import contextmanager
 
 LOCK_PATH = os.environ.get("TPU_CHIP_LEASE", "/tmp/seq2seq_asr_tpu_chip.lease")
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except OSError as e:
-        return e.errno == errno.EPERM  # alive but not ours
-    return True
 
 
 def _owner(path: str):
@@ -77,53 +72,46 @@ def chip_lease(tag: str = "", path: str | None = None, force: bool = False):
         yield
         return
     me = {"pid": os.getpid(), "tag": tag or " ".join(sys.argv[:3])}
-    # Acquire by atomic os.link of a fully-written temp file: the lock
-    # is never observable in a half-written state (a reader of an empty
-    # file would misclassify a LIVE lock as stale), and creation+content
-    # are one atomic step.
-    tmp = f"{path}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(me, f)
-    try:
-        while True:
-            try:
-                os.link(tmp, path)
-                break
-            except FileExistsError:
-                pass
-            owner = _owner(path)
-            if owner and _pid_alive(int(owner.get("pid", -1))):
-                print(
-                    f"chip lease held by pid {owner['pid']} "
-                    f"({owner.get('tag', '?')}) — one chip client at a "
-                    f"time (see CLAUDE.md). Let it finish, or if it is "
-                    f"truly gone remove {path}.",
-                    file=sys.stderr,
-                )
-                raise SystemExit(3) from None
-            # Stale lock (owner dead, or unreadable leftover): exactly
-            # ONE contender reclaims it via atomic rename — a plain
-            # unlink could delete a FRESH lock some other contender
-            # just installed in the race window.
-            stale = f"{path}.stale.{os.getpid()}"
-            try:
-                os.rename(path, stale)
-            except FileNotFoundError:
-                continue  # someone else reclaimed it; retry the link
-            try:
-                os.unlink(stale)
-            except FileNotFoundError:
-                pass
-    finally:
+    # Acquire via flock: atomic, and released by the kernel the moment
+    # the holder exits (even on SIGKILL), so a dead owner needs no
+    # staleness detection at all. The file persists between holders;
+    # its json contents are diagnostics for the "held by" message.
+    while True:
+        fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
         try:
-            os.unlink(tmp)
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            owner = _owner(path) or {}
+            print(
+                f"chip lease held by pid {owner.get('pid', '?')} "
+                f"({owner.get('tag', '?')}) — one chip client at a "
+                f"time (see CLAUDE.md). Let it finish, or if it is "
+                f"truly gone remove {path}.",
+                file=sys.stderr,
+            )
+            os.close(fd)
+            raise SystemExit(3) from None
+        # Guard the unlink-at-release race: if the previous holder
+        # unlinked the path between our open() and flock(), we hold a
+        # lock on an orphaned inode while a third client could lock the
+        # fresh file — retry on the current path instead.
+        try:
+            fresh = os.stat(path).st_ino == os.fstat(fd).st_ino
         except FileNotFoundError:
-            pass
+            fresh = False
+        if fresh:
+            break
+        os.close(fd)
+    os.ftruncate(fd, 0)
+    os.write(fd, json.dumps(me).encode())
     try:
         yield
     finally:
         try:
-            if (_owner(path) or {}).get("pid") == me["pid"]:
+            # Remove only if the path still names OUR inode (it always
+            # should — nobody else can write while we hold the flock).
+            if os.stat(path).st_ino == os.fstat(fd).st_ino:
                 os.unlink(path)
         except OSError:
             pass
+        os.close(fd)  # releases the flock

@@ -141,3 +141,49 @@ def test_chip_lease_excludes_second_client(tmp_path, monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     with lease.chip_lease("cpu", path=path):
         assert not os.path.exists(path)
+
+
+def test_chip_lease_released_on_sigkill(tmp_path, monkeypatch):
+    """ADVICE r4: the flock-based lease is released by the KERNEL when
+    the holder dies, even on SIGKILL mid-hold — no stale-reclaim logic,
+    hence no reclaim race. A child takes the lease, is SIGKILL'd, and
+    the parent must acquire immediately."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from seq2seq_attention_asr_tpu.utils import lease
+
+    path = str(tmp_path / "chip.lease")
+    monkeypatch.delenv("BENCH_CPU", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    child = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import sys; sys.path.insert(0, %r); "
+            "from seq2seq_attention_asr_tpu.utils import lease; "
+            "ctx = lease.chip_lease('victim', path=%r); ctx.__enter__(); "
+            "print('HELD', flush=True); import time; time.sleep(60)"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             path)],
+        stdout=subprocess.PIPE,
+        env={**os.environ, "JAX_PLATFORMS": "axon"},
+    )
+    try:
+        assert child.stdout.readline().strip() == b"HELD"
+        # live holder -> second client must be excluded
+        with pytest.raises(SystemExit):
+            with lease.chip_lease("second", path=path):
+                pass
+        child.send_signal(signal.SIGKILL)
+        child.wait(timeout=10)
+        # dead holder -> immediate acquisition, no staleness dance
+        t0 = time.monotonic()
+        with lease.chip_lease("reclaim", path=path):
+            pass
+        assert time.monotonic() - t0 < 5.0
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait(timeout=10)
