@@ -122,6 +122,11 @@ class BucketedBatcher:
     def _pad(self, ds, idxs: List[int], l_pad: int) -> Batch:
         t_max = max(len(ds.y[i]) for i in idxs)
         t_pad = -(-t_max // self.t_multiple) * self.t_multiple
+        if ds.x[idxs[0]].ndim != 2:
+            # channel-stacked features (L, freq, C) — e.g. the VGG
+            # recipe's 3-channel logmel — go through the shape-generic
+            # NumPy path (the C++ packer is 2-D strided copies)
+            return self._pad_np(ds, idxs, l_pad, t_pad)
         try:
             return self._pad_native(ds, idxs, l_pad, t_pad)
         except Exception:
@@ -145,8 +150,7 @@ class BucketedBatcher:
         """NumPy fallback (no C++ toolchain); semantics identical to
         _pad_native — parity asserted in tests/test_native.py."""
         b = len(idxs)
-        d = ds.x[idxs[0]].shape[-1]
-        x = np.zeros((b, l_pad, d), np.float32)
+        x = np.zeros((b, l_pad) + ds.x[idxs[0]].shape[1:], np.float32)
         y = np.zeros((b, t_pad), np.int32)
         y39 = np.zeros((b, t_pad), np.int32) if ds.y39 is not None else None
         x_len = np.zeros((b,), np.int32)

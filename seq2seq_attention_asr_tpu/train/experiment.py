@@ -291,8 +291,12 @@ def run_cli(builder, dataset: str, argv=None, source_file: Optional[str] = None)
         exp.train = dataclasses.replace(exp.train, batch_size=args.batch_size)
     if args.max_samples:
         exp.train = dataclasses.replace(exp.train, max_samples=args.max_samples)
-    if exp.model_kwargs.get("input_frame_size") != train_ds.x[0].shape[-1]:
-        exp.model_kwargs["input_frame_size"] = int(train_ds.x[0].shape[-1])
+    # frame size: last axis for flat (L, D) features, the freq axis for
+    # channel-stacked (L, freq, C) features (VGG NHWC input)
+    x0 = train_ds.x[0]
+    frame_size = int(x0.shape[-2] if x0.ndim == 3 else x0.shape[-1])
+    if exp.model_kwargs.get("input_frame_size") != frame_size:
+        exp.model_kwargs["input_frame_size"] = frame_size
     exp.archive(source_file)
 
     mesh = None

@@ -51,6 +51,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
@@ -72,11 +74,18 @@ def main():
     )
     ap.add_argument(
         "--model", default="chorowski",
-        choices=("chorowski", "conv_bilstm"),
+        choices=("chorowski", "conv_bilstm", "vgg"),
         help="conv_bilstm = the 8x time-downsampling short-recurrence "
              "recipe (timit/timit.lua:98-169) — the PERF.md MFU-ceiling "
-             "experiment (default-mode corpus only)",
+             "experiment; vgg = the LibriSpeech VGG recipe "
+             "(model_vgg.lua) on char-shaped synthetic targets with "
+             "3-channel stacked features (default-mode corpus only)",
     )
+    ap.add_argument("--chunks", type=int, default=1,
+                    help=">1: split the synthetic train set into N chunks "
+                         "and drive the out-of-core chunked epoch loop "
+                         "(librispeech/train.lua:82-103) — the exact path "
+                         "real LibriSpeech training uses")
     ap.add_argument(
         "--timit-shape", action="store_true",
         help="61-phone TIMIT-shaped corpus + full recipe (AWN + dropout)",
@@ -137,15 +146,33 @@ def main():
     epochs = args.epochs or 40
     batch = args.batch_size or 16
 
+    feat_dim = 40 if args.model == "vgg" else 123
     train, valid, v = synthetic.train_valid(
         n_train, n_valid, n_phones=args.n_phones,
-        feat_dim=123, min_len=6, max_len=16, frames_per_phone=(4, 9),
+        feat_dim=feat_dim, min_len=6, max_len=16, frames_per_phone=(4, 9),
         noise=args.noise, seed=args.seed,
     )
+    if args.model == "vgg":
+        # the VGG recipe consumes 3-channel (L, freq, 3) stacked
+        # features (model_vgg.lua NHWC input; logmel/delta/delta-delta
+        # in the real pipeline) — derive the delta channels exactly as
+        # data/features.logmel_stacked_np does
+        from seq2seq_attention_asr_tpu.data import features as F
+
+        def stack3(x):
+            d1 = F.delta_np(x.T, order=1).T
+            d2 = F.delta_np(x.T, order=2).T
+            return np.ascontiguousarray(
+                np.stack([x, d1, d2], axis=-1), np.float32
+            )
+
+        for ds_ in (train, valid):
+            ds_.x[:] = [stack3(x) for x in ds_.x]
     corpus_desc = {
         "kind": "synthetic", "train_utts": n_train,
         "valid_utts": n_valid, "n_phones": args.n_phones,
-        "feat_dim": 123,
+        "feat_dim": feat_dim,
+        "stacked_channels": 3 if args.model == "vgg" else 0,
     }
 
     if args.model == "conv_bilstm":
@@ -162,6 +189,21 @@ def main():
             "conv_bilstm", input_frame_size=123, output_depth=v,
             feature_maps=16, filt_size=5, **dims,
         )
+    elif args.model == "vgg":
+        # the LibriSpeech VGG recipe (librispeech/model_vgg.lua): conv
+        # encoder on 3-channel stacked features, annotationDepth =
+        # outputFrameSize, two-layer maxout readout
+        dims = (
+            dict(output_frame_size=64, score_depth=64, state_depth=64,
+                 mlp_depth=32)
+            if args.small
+            else dict(output_frame_size=512, score_depth=512,
+                      state_depth=256, mlp_depth=64)
+        )
+        model = registry.build(
+            "vgg", input_frame_size=40, output_depth=v,
+            feature_maps=0, filt_size=10, **dims,
+        )
     else:
         dims = _dims(args.small)
         # canonical recipe: content+state attention (featureMaps 0), GRU
@@ -174,6 +216,9 @@ def main():
     tcfg = trainer_lib.TrainConfig(
         num_epochs=epochs, batch_size=batch,
         normalize_nll=True, beam_k=5, seed=args.seed,
+        # LibriSpeech eval gives the beam a 2L step budget
+        # (librispeech/train.lua:251-252)
+        eval_len_factor=2.0 if args.model == "vgg" else 1.0,
     )
     tr = trainer_lib.Trainer(
         model, _ocfg(), tcfg, save_dir=args.save_dir
@@ -187,17 +232,43 @@ def main():
         # per-step host batch transfer costs ~40x the step itself)
         batcher = batching.CachedDeviceBatcher(batcher, seed=args.seed)
 
+    chunked = None
+    if args.chunks > 1:
+        # out-of-core chunk loop (librispeech/train.lua:82-103): the
+        # exact code path real LibriSpeech training runs — one chunk
+        # resident at a time, shuffled chunk order per epoch
+        import dataclasses as _dc
+
+        n = len(train)
+        per = -(-n // args.chunks)
+        subs = [
+            _dc.replace(
+                train, uids=train.uids[lo:lo + per], x=train.x[lo:lo + per],
+                y=train.y[lo:lo + per], start=train.start[lo:lo + per],
+                finish=train.finish[lo:lo + per],
+            )
+            for lo in range(0, n, per)
+        ]
+        chunked = (
+            lambda i: subs[i],
+            len(subs),
+            lambda ds: batching.BucketedBatcher.from_dataset(
+                ds, batch, n_buckets=2
+            ),
+        )
+
     meta = {
         "backend": jax.default_backend(),
         "model": {"name": args.model, **dims, "output_depth": v},
         "corpus": corpus_desc,
+        "chunks": args.chunks,
         "recipe": "adadelta(0.95,1e-8) normalizeNLL beam_k=5 (canonical)",
     }
     print(f"backend={meta['backend']} model={meta['model']}", flush=True)
     rows = []
     t0 = time.time()
     _fit_logged(tr, train, valid, batcher, args.decode_every, rows, t0,
-                meta, args.out)
+                meta, args.out, chunked=chunked)
     _summary(rows, t0)
     _export_best(args.save_dir, tr, tcfg)
 
@@ -223,11 +294,11 @@ def _ocfg():
 
 
 def _fit_logged(tr, train, valid, batcher, decode_every, rows, t0, meta,
-                out, stage=None):
+                out, stage=None, chunked=None):
     import json as _json
 
     for row in tr.fit(train, valid, batcher, decode_every=decode_every,
-                      ckpt_every=25):
+                      ckpt_every=25, chunked=chunked):
         row["wall_s"] = time.time() - t0
         if stage:
             row["stage"] = stage

@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--labelset", choices=("chars", "words"), default="chars")
+    ap.add_argument("--variant", choices=("logmel", "logmel_stacked"),
+                    default="logmel",
+                    help="logmel: flat 123-dim frames (chorowski recipes); "
+                         "logmel_stacked: 3-channel (L, freq, 3) "
+                         "logmel/delta/delta-delta for the VGG recipe "
+                         "(model_vgg.lua NHWC input)")
     ap.add_argument("--script-test", action="store_true")
     args = ap.parse_args()
 
@@ -43,10 +49,24 @@ def main():
     if args.test:
         roots["test"] = args.test
     max_utts = 20 if args.script_test else None
+    feature_fn = (
+        features.logmel_stacked_np
+        if args.variant == "logmel_stacked"
+        else features.logmel_np
+    )
     datasets, vocab, mean, std = ls.build_datasets(
-        roots, feature_fn=features.logmel_np, pad=1, max_utts=max_utts,
+        roots, feature_fn=feature_fn, pad=1, max_utts=max_utts,
         labelset=args.labelset,
     )
+    if args.variant == "logmel_stacked":
+        # normalize_corpus works channel-first (3, L, F); store
+        # TIME-major (L, F, 3) so bucketing/padding key on axis 0 and
+        # the batch arrives NHWC exactly as vgg.encode expects.
+        for ds_ in datasets.values():
+            ds_.x[:] = [
+                np.ascontiguousarray(np.transpose(f, (1, 2, 0)), np.float32)
+                for f in ds_.x
+            ]
     os.makedirs(args.out, exist_ok=True)
     n_chunks = 5 if args.script_test else args.chunks
     ls.save_chunked(datasets["train"], args.out, n_chunks=n_chunks)
@@ -60,7 +80,10 @@ def main():
     ls.save_meta(
         args.out,
         {
-            "inputFrameSize": int(d.x[0].shape[-1]) if len(d) else 0,
+            "inputFrameSize": (
+                int(d.x[0].shape[-2] if d.x[0].ndim == 3 else d.x[0].shape[-1])
+                if len(d) else 0
+            ),
             "trainsamples": len(d),
             "validsamples": len(datasets.get("valid", [])),
             "testsamples": len(datasets.get("test", [])),
