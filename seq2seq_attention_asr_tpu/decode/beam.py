@@ -136,12 +136,20 @@ def beam_search(
 
     use_fused = False
     fuse_readout = False
+    # Measured crossover (runs/serve_probe.json, one v5e chip, flagship
+    # serving shapes): at b*k < 16 rows the fused step kernel LOSES to
+    # the XLA path (b=1/k=5: 96 vs 83 ms p50 — the rows pad to one
+    # sublane tile and the per-step kernel overhead dominates), while at
+    # b*k >= 40 it wins (b=8/k=5: 123 vs 136 ms). Auto mode therefore
+    # only fuses with at least one full sublane tile of beam rows;
+    # backend="pallas" still forces the kernel (parity tests).
+    enough_rows = b * k >= 16
     if axis_name is None and backend in ("auto", "pallas"):
         from ..ops.pallas import attention_step as _fused
 
         interpret = jax.default_backend() not in ("tpu", "axon")
         if _fused.supported(cfg, b, k, l_pad, dtype) and (
-            backend == "pallas" or not interpret
+            backend == "pallas" or (not interpret and enough_rows)
         ):
             use_fused = True
             # whole step = ONE kernel launch (decode is launch-bound):

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from steptime import measure_train_step  # noqa: E402
 
-HOP, SR = 160, 16000
+HOP, SR = 512, 16000  # bench.py's frame accounting (32 ms/frame)
 L, T = 144, 56
 
 FLAGSHIP = dict(
