@@ -249,13 +249,22 @@ def main():
             )
             for lo in range(0, n, per)
         ]
-        chunked = (
-            lambda i: subs[i],
-            len(subs),
-            lambda ds: batching.BucketedBatcher.from_dataset(
-                ds, batch, n_buckets=2
-            ),
-        )
+        _bt_cache = {}
+
+        def _chunk_batcher(ds):
+            # memoize per chunk: Trainer.fit asks for a batcher on each
+            # chunk visit, and a fresh CachedDeviceBatcher would
+            # re-stage the chunk over the tunnel every epoch
+            if id(ds) not in _bt_cache:
+                bt = batching.BucketedBatcher.from_dataset(
+                    ds, batch, n_buckets=2
+                )
+                if jax.default_backend() not in ("cpu",):
+                    bt = batching.CachedDeviceBatcher(bt, seed=args.seed)
+                _bt_cache[id(ds)] = bt
+            return _bt_cache[id(ds)]
+
+        chunked = (lambda i: subs[i], len(subs), _chunk_batcher)
 
     meta = {
         "backend": jax.default_backend(),

@@ -54,7 +54,11 @@ def main():
     with chip_lease("sp_cost.py"):
         import jax
 
-        for l in (144, 72, 48):
+        # 16-aligned lengths only: L=72 (the raw sp=2 local length of a
+        # 144-frame batch) fails the bf16 fused gate and silently runs
+        # the XLA scan — sp shards must pad local L to %16 (here 80),
+        # exactly like bucket boundaries (CLAUDE.md).
+        for l in (144, 80, 48):
             for be in ("auto", "xla"):
                 kw = dict(BASE, rnn_backend=be, attn_backend=be)
                 try:
