@@ -48,6 +48,7 @@ def make_corpus(
     noise: float = 0.3,
     seed: int = 0,
     prototypes: Optional[np.ndarray] = None,
+    unique_phones: bool = False,
 ) -> Tuple[Dataset, np.ndarray, int]:
     """Build a learnable corpus of `n_utts` utterances.
 
@@ -58,6 +59,15 @@ def make_corpus(
     noise^2). Returns (dataset, prototypes, vocab_size). Pass the
     returned `prototypes` back in to draw a disjoint split (e.g. a
     validation set) from the SAME underlying phone->feature mapping.
+
+    unique_phones=True samples each utterance's phones WITHOUT
+    replacement (requires n_phones >= max_len). Needed for models whose
+    encoder receptive field is local (VGG's 8-frame convs): with
+    repeated phones, two encoder positions emit near-identical
+    annotations and CONTENT-ONLY attention (featureMaps=0, the VGG
+    recipe) cannot disambiguate them in free-running decode — a corpus
+    artifact, not a model bug (real speech disambiguates repeats by
+    coarticulation context; a recurrent encoder by carried state).
     """
     rng = np.random.RandomState(seed)
     if prototypes is None:
@@ -71,7 +81,10 @@ def make_corpus(
     xs, ys, starts, finishes, uids = [], [], [], [], []
     for i in range(n_utts):
         t = rng.randint(min_len, max_len + 1)
-        phones = rng.randint(0, n_phones, size=t)
+        if unique_phones:
+            phones = rng.permutation(n_phones)[:t]
+        else:
+            phones = rng.randint(0, n_phones, size=t)
         frames, st, fi = [], [], []
         pos = 0
         for p in phones:

@@ -81,6 +81,13 @@ def main():
              "(model_vgg.lua) on char-shaped synthetic targets with "
              "3-channel stacked features (default-mode corpus only)",
     )
+    ap.add_argument("--unique-phones", action="store_true",
+                    help="sample each utterance's phones without "
+                         "replacement — required for content-only "
+                         "attention over local-receptive-field encoders "
+                         "(VGG): repeated phones give identical "
+                         "annotations the free-running decode cannot "
+                         "disambiguate (see data/synthetic.py)")
     ap.add_argument("--chunks", type=int, default=1,
                     help=">1: split the synthetic train set into N chunks "
                          "and drive the out-of-core chunked epoch loop "
@@ -151,6 +158,7 @@ def main():
         n_train, n_valid, n_phones=args.n_phones,
         feat_dim=feat_dim, min_len=6, max_len=16, frames_per_phone=(4, 9),
         noise=args.noise, seed=args.seed,
+        unique_phones=args.unique_phones,
     )
     if args.model == "vgg":
         # the VGG recipe consumes 3-channel (L, freq, 3) stacked
@@ -171,7 +179,8 @@ def main():
     corpus_desc = {
         "kind": "synthetic", "train_utts": n_train,
         "valid_utts": n_valid, "n_phones": args.n_phones,
-        "feat_dim": feat_dim,
+        "feat_dim": feat_dim, "noise": args.noise,
+        "unique_phones": bool(args.unique_phones),
         "stacked_channels": 3 if args.model == "vgg" else 0,
     }
 
