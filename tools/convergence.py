@@ -81,6 +81,11 @@ def main():
              "(model_vgg.lua) on char-shaped synthetic targets with "
              "3-channel stacked features (default-mode corpus only)",
     )
+    ap.add_argument("--feature-maps", type=int, default=16,
+                    help="location-attention feature maps for --model "
+                         "vgg (opt.hybridAttendFeatureMaps, "
+                         "model_vgg.lua:61; reference default 0 = "
+                         "content-only — see the vgg branch note)")
     ap.add_argument("--unique-phones", action="store_true",
                     help="sample each utterance's phones without "
                          "replacement — required for content-only "
@@ -164,10 +169,26 @@ def main():
         # the VGG recipe consumes 3-channel (L, freq, 3) stacked
         # features (model_vgg.lua NHWC input; logmel/delta/delta-delta
         # in the real pipeline) — derive the delta channels exactly as
-        # data/features.logmel_stacked_np does
+        # data/features.logmel_stacked_np does. The prototypes are
+        # additionally smoothed along the FREQ axis: real log-mel bins
+        # are locally correlated, which is precisely the structure the
+        # VGG's 3x3 convs + freq-maxpools assume — white-noise
+        # prototypes alias under freq pooling and the encoder cannot
+        # generalize the phone->feature mapping (measured: train acc
+        # 0.93 with valid teacher-forced accuracy near chance).
         from seq2seq_attention_asr_tpu.data import features as F
 
+        k = np.array([0.25, 0.5, 0.25])
+
+        def smooth_freq(x):
+            pad = np.pad(x, ((0, 0), (2, 2)), mode="edge")
+            for _ in range(2):
+                pad = (k[0] * np.roll(pad, 1, 1) + k[1] * pad
+                       + k[2] * np.roll(pad, -1, 1))
+            return pad[:, 2:-2]
+
         def stack3(x):
+            x = smooth_freq(x)
             d1 = F.delta_np(x.T, order=1).T
             d2 = F.delta_np(x.T, order=2).T
             return np.ascontiguousarray(
@@ -201,7 +222,14 @@ def main():
     elif args.model == "vgg":
         # the LibriSpeech VGG recipe (librispeech/model_vgg.lua): conv
         # encoder on 3-channel stacked features, annotationDepth =
-        # outputFrameSize, two-layer maxout readout
+        # outputFrameSize, two-layer maxout readout. The reference
+        # exposes hybridAttendFeatureMaps (model_vgg.lua:61); on the
+        # synthetic prototype corpus location-aware attention (fm>0)
+        # is REQUIRED for free-running decode: the conv encoder's
+        # 8-frame receptive field carries no positional signal, so
+        # content-only attention cannot track the read position
+        # (teacher-forced accuracy memorizes while beam CER stalls —
+        # two committed chip runs at fm=0).
         dims = (
             dict(output_frame_size=64, score_depth=64, state_depth=64,
                  mlp_depth=32)
@@ -211,8 +239,9 @@ def main():
         )
         model = registry.build(
             "vgg", input_frame_size=40, output_depth=v,
-            feature_maps=0, filt_size=10, **dims,
+            feature_maps=args.feature_maps, filt_size=10, **dims,
         )
+        dims["feature_maps"] = args.feature_maps
     else:
         dims = _dims(args.small)
         # canonical recipe: content+state attention (featureMaps 0), GRU
