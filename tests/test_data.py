@@ -384,3 +384,25 @@ def test_pseudo_cqt_error_vs_exact_measured():
     leak = lambda m: max(m[7], m[11]) / m[9]
     assert leak(mid_e) < 0.1  # exact localizes
     assert leak(mid_p) > 0.3  # pseudo smears — the documented deviation
+
+
+def test_synthetic_unique_phones():
+    """unique_phones=True samples each utterance's phones without
+    replacement (content-only attention over local-receptive-field
+    encoders cannot disambiguate repeats — data/synthetic.py)."""
+    from seq2seq_attention_asr_tpu.data import synthetic
+
+    ds, protos, v = synthetic.make_corpus(
+        20, n_phones=30, feat_dim=8, min_len=5, max_len=12,
+        unique_phones=True, seed=3,
+    )
+    assert v == 31
+    for y in ds.y:
+        body = y[:-1]  # strip <EOS>
+        assert len(set(body.tolist())) == len(body), body
+    # disjoint valid split reuses the SAME prototypes
+    ds2, _, _ = synthetic.make_corpus(
+        5, prototypes=protos, min_len=5, max_len=12,
+        unique_phones=True, seed=4,
+    )
+    assert all(len(set(y[:-1].tolist())) == len(y) - 1 for y in ds2.y)
