@@ -115,20 +115,32 @@ def test_bigru_scan_grads_match_xla(shapes):
         )
 
 
-def test_bigru_layer_pallas_matches_xla_backend():
+@pytest.mark.parametrize("b", [8, 32])
+def test_bigru_layer_pallas_matches_xla_backend(b):
     """bigru_layer(backend='pallas', interpret via CPU) == backend='xla',
-    including the length-flip handling for the reverse direction."""
+    including the length-flip handling for the reverse direction,
+    forward AND grads, at a recipe-like batch (32) and a tiny one (8)."""
     from seq2seq_attention_asr_tpu.ops import rnn
 
     key = jax.random.PRNGKey(3)
     params = rnn.bigru_init(key, 16, 128)
-    x = jax.random.normal(jax.random.PRNGKey(4), (8, 6, 16))
-    lengths = jnp.array([6, 4, 3, 6, 5, 2, 6, 1])
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, 6, 16))
+    lengths = jnp.array(([6, 4, 3, 6, 5, 2, 6, 1] * 4)[:b])
     want = rnn.bigru_layer(params, x, lengths, backend="xla")
     got = rnn.bigru_layer(params, x, lengths, backend="pallas")
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
     )
+
+    def loss(be, p, xx):
+        return jnp.sum(rnn.bigru_layer(p, xx, lengths, backend=be) ** 2)
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(params, x)
+    gp = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(params, x)
+    for a, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=5e-4, atol=5e-5
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,33 @@ def main():
                     failures.append((name, str(e)[:400]))
                     print(f"FAIL {name}: {str(e)[:200]}", flush=True)
 
+    # bigru / bilstm fused encoder scans, both nsplit paths
+    from seq2seq_attention_asr_tpu.ops import rnn
+
+    for layer, init in (("bigru", rnn.bigru_init), ("bilstm", rnn.bilstm_init)):
+        for bb in (16, 32):  # ns=1 and ns=2 (gru_scan._nsplit)
+            for dtn, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+                p = jax.tree.map(
+                    lambda a: a.astype(dtype),
+                    init(jax.random.PRNGKey(0), 24, 128),
+                )
+                x = jnp.zeros((bb, 16, 24), dtype)
+                lens = jnp.full((bb,), 16)
+
+                def loss(pp, xx):
+                    out = rnn.bigru_layer(pp, xx, lens, backend="pallas") \
+                        if layer == "bigru" else \
+                        rnn.bilstm_layer(pp, xx, lens, backend="pallas")
+                    return jnp.sum(out.astype(jnp.float32))
+
+                name = f"{layer} b={bb} {dtn}"
+                try:
+                    jax.jit(jax.grad(loss, argnums=(0, 1))).lower(p, x).compile()
+                    print(f"OK   {name}", flush=True)
+                except Exception as e:
+                    failures.append((name, str(e)[:400]))
+                    print(f"FAIL {name}: {str(e)[:200]}", flush=True)
+
     if failures:
         print(f"\n{len(failures)} FAILURES")
         sys.exit(1)
